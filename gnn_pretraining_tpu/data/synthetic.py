@@ -1,0 +1,169 @@
+"""Seeded synthetic datasets with the reference domains' shapes and statistics.
+
+The build environment has no network egress, so the real TUDataset/Planetoid
+raw files may be absent. This module generates stand-in datasets matching each
+domain's feature dimensionality, class count, and size distribution
+(README.md:126-135 of the reference), with label-correlated features and
+homophilous edges so that training/transfer dynamics are meaningful. When the
+real raw files exist under ``data/raw``, ``data/setup.py`` parses those
+instead and this module is never used.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class TUSpec:
+    num_graphs: int
+    avg_nodes: float
+    avg_degree: float
+    feat_dim: int
+    num_onehot: int          # trailing one-hot label block width (0 = all one-hot)
+    num_classes: int
+
+
+# Approximate statistics of the real datasets (nodes/edges from the
+# reference README table; feature layout from DOMAIN_DIMENSIONS).
+TU_SPECS: Dict[str, TUSpec] = {
+    "MUTAG": TUSpec(188, 17.9, 2.2, 7, 7, 2),
+    "PROTEINS": TUSpec(1113, 39.1, 3.7, 4, 3, 2),
+    "NCI1": TUSpec(4110, 29.9, 2.2, 37, 37, 2),
+    "ENZYMES": TUSpec(600, 32.6, 3.8, 21, 3, 6),
+    "PTC_MR": TUSpec(344, 14.3, 2.0, 18, 18, 2),
+}
+
+PLANETOID_SPECS: Dict[str, Tuple[int, int, int, int]] = {
+    # name: (num_nodes, num_undirected_edges, feat_dim, num_classes)
+    "Cora": (2708, 5278, 1433, 7),
+    "CiteSeer": (3327, 4552, 3703, 6),
+}
+
+
+def _random_connected_graph(rng: np.random.Generator, n: int, avg_degree: float) -> np.ndarray:
+    """Random graph with a spanning chain + extra edges; returns directed COO
+    [2, 2*E_und] with both directions (PyG undirected convention)."""
+    edges = {(i, i + 1) for i in range(n - 1)}
+    target = max(n - 1, int(round(n * avg_degree / 2)))
+    max_tries = 20 * target
+    tries = 0
+    while len(edges) < target and tries < max_tries:
+        u, v = rng.integers(0, n, 2)
+        tries += 1
+        if u == v:
+            continue
+        a, b = (int(u), int(v)) if u < v else (int(v), int(u))
+        edges.add((a, b))
+    und = np.array(sorted(edges), np.int64).T
+    return np.concatenate([und, und[::-1]], axis=1)
+
+
+def generate_tu_dataset(name: str, seed: int = 0, scale: float = 1.0):
+    """Generate a TU-like dataset.
+
+    Returns (node_features, edge_index(local, [2, sumE]), node_offsets,
+    edge_offsets, graph_labels) — the ``parsers.parse_tu_dataset`` contract.
+    """
+    spec = TU_SPECS[name]
+    rng = np.random.default_rng(seed + hash(name) % (2 ** 31))
+    g = max(10, int(spec.num_graphs * scale))
+
+    num_cont = spec.feat_dim - spec.num_onehot
+    # Per-class signatures drive both one-hot-label distribution and the
+    # continuous block, making graph labels learnable from features.
+    class_logits = rng.normal(size=(spec.num_classes, max(spec.num_onehot, 1)))
+    class_means = rng.normal(size=(spec.num_classes, max(num_cont, 1)))
+
+    xs, eis, labels = [], [], []
+    node_offsets = [0]
+    edge_offsets = [0]
+    for _ in range(g):
+        n = max(3, int(rng.poisson(spec.avg_nodes)))
+        y = int(rng.integers(0, spec.num_classes))
+        ei = _random_connected_graph(rng, n, spec.avg_degree)
+
+        feats = np.zeros((n, spec.feat_dim), np.float32)
+        if spec.num_onehot > 0:
+            p = np.exp(class_logits[y])
+            p /= p.sum()
+            node_label = rng.choice(spec.num_onehot, size=n, p=p)
+            feats[np.arange(n), num_cont + node_label] = 1.0
+        if num_cont > 0:
+            feats[:, :num_cont] = (class_means[y, :num_cont]
+                                   + rng.normal(size=(n, num_cont))).astype(np.float32)
+
+        xs.append(feats)
+        eis.append(ei)
+        labels.append(y)
+        node_offsets.append(node_offsets[-1] + n)
+        edge_offsets.append(edge_offsets[-1] + ei.shape[1])
+
+    return (np.concatenate(xs, 0).astype(np.float32),
+            np.concatenate(eis, 1).astype(np.int32),
+            np.array(node_offsets, np.int64),
+            np.array(edge_offsets, np.int64),
+            np.array(labels, np.int64))
+
+
+def generate_planetoid(name: str, seed: int = 0, scale: float = 1.0):
+    """Generate a Planetoid-like citation graph (``parsers.parse_planetoid``
+    contract: dict with x, y, edge_index, train/val/test masks)."""
+    n0, e0, d, c = PLANETOID_SPECS[name]
+    rng = np.random.default_rng(seed + hash(name) % (2 ** 31))
+    n = max(60, int(n0 * scale))
+    e_und = max(n, int(e0 * scale))
+
+    y = rng.integers(0, c, n).astype(np.int64)
+
+    # Homophilous edges: 80% same-class endpoint pairs.
+    edges = set()
+    by_class = [np.where(y == k)[0] for k in range(c)]
+    while len(edges) < e_und:
+        if rng.random() < 0.8:
+            k = int(rng.integers(0, c))
+            pool = by_class[k]
+            if len(pool) < 2:
+                continue
+            u, v = rng.choice(pool, 2, replace=False)
+        else:
+            u, v = rng.integers(0, n, 2)
+        if u == v:
+            continue
+        a, b = (int(u), int(v)) if u < v else (int(v), int(u))
+        edges.add((a, b))
+    und = np.array(sorted(edges), np.int64).T
+    edge_index = np.concatenate([und, und[::-1]], axis=1).astype(np.int32)
+
+    # Sparse bag-of-words features with class-specific active vocabulary,
+    # row-normalized like the reference's NormalizeFeatures transform
+    # (src/data/data_setup.py:154).
+    words_per_class = max(8, d // (2 * c))
+    vocab = [rng.choice(d, words_per_class, replace=False) for _ in range(c)]
+    x = np.zeros((n, d), np.float32)
+    for i in range(n):
+        k_active = int(rng.integers(5, 25))
+        own = rng.choice(vocab[y[i]], min(k_active, words_per_class), replace=False)
+        noise = rng.choice(d, max(1, k_active // 3), replace=False)
+        x[i, own] = 1.0
+        x[i, noise] = 1.0
+    row_sum = x.sum(axis=1, keepdims=True)
+    x = x / np.maximum(row_sum, 1.0)
+
+    # Public-split-shaped masks: 20·C train, 500 val, 1000 test (scaled).
+    train_n = min(20 * c, n // 4)
+    val_n = min(500, max(n // 6, 10))
+    test_n = min(1000, max(n // 3, 10))
+    perm = rng.permutation(n)
+    train_mask = np.zeros(n, bool)
+    val_mask = np.zeros(n, bool)
+    test_mask = np.zeros(n, bool)
+    train_mask[perm[:train_n]] = True
+    val_mask[perm[train_n:train_n + val_n]] = True
+    test_mask[perm[train_n + val_n:train_n + val_n + test_n]] = True
+
+    return {"x": x, "y": y, "edge_index": edge_index,
+            "train_mask": train_mask, "val_mask": val_mask, "test_mask": test_mask}

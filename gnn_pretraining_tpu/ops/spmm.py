@@ -1,0 +1,187 @@
+"""GIN neighborhood aggregation: ``z = A @ h + (1 + eps) * h``.
+
+This is the hot op of every forward/backward in the framework — the TPU-native
+replacement for PyG's ``GINConv`` scatter-add CUDA kernels (reference:
+src/models/gnn.py:29-37, where ``GINConv`` computes
+``MLP((1+eps)·x_i + Σ_{j∈N(i)} x_j)``).
+
+Design: the graphs in this workload are small (≤3.3k nodes full-batch, ≤1k
+nodes per molecule batch), so the neighbor sum maps best onto the MXU as a
+dense adjacency matmul rather than a gather/scatter loop, which TPUs execute
+poorly. Three interchangeable paths:
+
+  * ``gin_aggregate_coo``   — XLA ``segment_sum`` over the COO edge list
+                              (reference semantics; used for cross-checking and
+                              for edge-partitioned multi-chip execution).
+  * ``gin_aggregate_dense`` — ``A @ h`` with XLA's native matmul.
+  * ``spmm_pallas``         — tiled Pallas MXU kernel computing
+                              ``A @ h + (1+eps) h`` in one pass with a custom
+                              VJP (bwd: ``Aᵀ @ g + (1+eps) g``).
+
+The adjacency is built once per batch by a cheap scatter
+(``build_dense_adjacency``) and reused by all 5 GIN layers and every task
+forward in the step.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def build_dense_adjacency(senders: jnp.ndarray, receivers: jnp.ndarray,
+                          edge_mask: jnp.ndarray, num_nodes: int) -> jnp.ndarray:
+    """Dense [N, N] adjacency with A[dst, src] = multiplicity of edge src->dst.
+
+    Message flow matches PyG's source_to_target: the aggregation at node ``i``
+    sums features of senders ``j`` over edges ``j -> i``, i.e. ``(A @ h)[i]``.
+    Masked (padding) edges contribute 0.
+    """
+    a = jnp.zeros((num_nodes, num_nodes), dtype=jnp.float32)
+    return a.at[receivers, senders].add(edge_mask.astype(jnp.float32))
+
+
+def gin_aggregate_coo(h: jnp.ndarray, senders: jnp.ndarray, receivers: jnp.ndarray,
+                      edge_mask: jnp.ndarray, eps: jnp.ndarray) -> jnp.ndarray:
+    """Reference-semantics aggregation via gather + masked segment_sum."""
+    msgs = h[senders] * edge_mask.astype(h.dtype)[:, None]
+    agg = jax.ops.segment_sum(msgs, receivers, num_segments=h.shape[0])
+    return agg + (1.0 + eps) * h
+
+
+def gin_aggregate_dense(h: jnp.ndarray, adj: jnp.ndarray, eps: jnp.ndarray) -> jnp.ndarray:
+    """MXU path: ``A @ h + (1+eps) h`` with XLA's matmul."""
+    return jnp.dot(adj, h, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST) + (1.0 + eps) * h
+
+
+# ---------------------------------------------------------------------------
+# Pallas tiled SpMM kernel
+# ---------------------------------------------------------------------------
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _spmm_kernel(eps_ref, a_ref, h_ref, hd_ref, out_ref, acc_ref):
+    """One (i, j, k) grid step of ``out = A @ H + (1+eps) H``.
+
+    Grid is (M/bm, F/bn, N/bk) with k innermost; ``acc_ref`` is a VMEM f32
+    accumulator carried across the k loop. ``hd_ref`` is the diagonal block of
+    H (rows aligned with the out-rows of this i tile) used for the
+    ``(1+eps) H`` epilogue.
+    """
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # precision=HIGHEST keeps f32 inputs at full precision on the MXU (the
+    # default truncates to one bf16 pass — ~1e-2 error, too loose for parity).
+    acc_ref[:] += jnp.dot(a_ref[:], h_ref[:], preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(k == nk - 1)
+    def _epilogue():
+        out_ref[:] = acc_ref[:] + (1.0 + eps_ref[0]) * hd_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk"))
+def _spmm_fwd_impl(adj: jnp.ndarray, h: jnp.ndarray, eps: jnp.ndarray,
+                   bm: int = 256, bn: int = 256, bk: int = 512) -> jnp.ndarray:
+    n0, f0 = h.shape
+    bm = min(bm, _round_up(n0, 8))
+    bk = min(bk, _round_up(n0, 128))
+    bn = min(bn, _round_up(f0, 128))
+
+    # Zero-pad to tile multiples: exact for A@H + (1+eps)H, and keeps every
+    # MXU tile fully populated.
+    n = _round_up(n0, math.lcm(bm, bk))
+    f = _round_up(f0, bn)
+    if (n, f) != (n0, f0):
+        adj = jnp.pad(adj, ((0, n - n0), (0, n - n0)))
+        h = jnp.pad(h, ((0, n - n0), (0, f - f0)))
+
+    grid = (pl.cdiv(n, bm), pl.cdiv(f, bn), pl.cdiv(n, bk))
+    eps_arr = jnp.asarray(eps, jnp.float32).reshape((1,))
+
+    flops = 2 * n * n * f + 2 * n * f
+    bytes_accessed = 4 * (n * n + 2 * n * f)
+
+    out = pl.pallas_call(
+        _spmm_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, f), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                              # eps
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),                              # A tile
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),                              # H tile (k rows)
+            pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                         memory_space=pltpu.VMEM),                              # H tile (out rows)
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+        # CPU (tests / virtual meshes) runs the kernel in interpreter mode.
+        interpret=jax.default_backend() != "tpu",
+    )(eps_arr, adj, h, h)
+    return out[:n0, :f0]
+
+
+@jax.custom_vjp
+def spmm_pallas(adj: jnp.ndarray, h: jnp.ndarray, eps: jnp.ndarray) -> jnp.ndarray:
+    """``A @ h + (1+eps) h`` as a tiled Pallas MXU kernel with custom VJP.
+
+    ``adj`` is treated as non-differentiable graph structure; gradients flow to
+    ``h`` (``Aᵀ @ g + (1+eps) g``) and to the learnable GIN ``eps``
+    (``Σ g ⊙ h``), matching the autodiff of the reference GINConv with
+    ``train_eps=True`` (src/models/gnn.py:36).
+    """
+    return _spmm_fwd_impl(adj, h, eps)
+
+
+def _spmm_fwd(adj, h, eps):
+    return _spmm_fwd_impl(adj, h, eps), (adj, h, eps)
+
+
+def _spmm_bwd(residuals, g):
+    adj, h, eps = residuals
+    # dL/dh = Aᵀ g + (1+eps) g — same kernel on the transposed adjacency.
+    dh = _spmm_fwd_impl(adj.T, g, eps)
+    deps = jnp.vdot(g, h)
+    return None, dh, deps.astype(jnp.asarray(eps).dtype).reshape(jnp.shape(eps))
+
+
+spmm_pallas.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+def gin_aggregate(h: jnp.ndarray, eps: jnp.ndarray, *,
+                  adj: jnp.ndarray | None = None,
+                  senders: jnp.ndarray | None = None,
+                  receivers: jnp.ndarray | None = None,
+                  edge_mask: jnp.ndarray | None = None,
+                  impl: str = "pallas") -> jnp.ndarray:
+    """Dispatch between the aggregation implementations."""
+    if impl == "coo":
+        return gin_aggregate_coo(h, senders, receivers, edge_mask, eps)
+    if adj is None:
+        adj = build_dense_adjacency(senders, receivers, edge_mask, h.shape[0])
+    if impl == "dense":
+        return gin_aggregate_dense(h, adj, eps)
+    if impl == "pallas":
+        return spmm_pallas(adj, h, eps)
+    raise ValueError(f"unknown impl {impl!r}")

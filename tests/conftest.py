@@ -1,0 +1,22 @@
+"""Test configuration: run everything on an 8-device virtual CPU mesh.
+
+Multi-chip sharding is validated without TPU hardware via
+``--xla_force_host_platform_device_count`` (SURVEY.md §4: JAX 1-process
+multi-device simulation). The axon TPU plugin registers itself in
+``sitecustomize`` before pytest starts, so the env-var route is too late —
+``jax.config.update('jax_platforms', 'cpu')`` still wins as long as it runs
+before the first backend use. Pallas kernels fall back to interpreter mode on
+CPU (see ops/spmm.py).
+"""
+
+import os
+
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
