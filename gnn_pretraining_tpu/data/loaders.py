@@ -49,8 +49,11 @@ class BalancedMultiDomainSampler:
         self.samples_per_domain = batch_size // len(domain_stores)
         self.train_indices = {d: np.asarray(s.splits["train"], np.int64)
                               for d, s in domain_stores.items()}
-        self.num_steps = max(len(ix) for ix in self.train_indices.values()) \
-            // self.samples_per_domain
+        # Reference: max(len(ds)) // samples_per_domain (:33); floor at 1 so
+        # undersized synthetic stand-in datasets still take a step per epoch.
+        self.num_steps = max(
+            1, max(len(ix) for ix in self.train_indices.values())
+            // self.samples_per_domain)
         # Worst-case pads: samples_per_domain × the largest graph in the split.
         self.pads = {}
         for d, s in domain_stores.items():

@@ -48,6 +48,21 @@ def _scale_continuous_features(store_feats: np.ndarray, node_offsets: np.ndarray
     return np.clip(scaled, config.MIN_SCALE, config.MAX_SCALE).astype(np.float32)
 
 
+def _stratified_or_plain(indices: np.ndarray, labels: np.ndarray,
+                         test_size: float):
+    """Stratified split like the reference (:86,102); falls back to a plain
+    ShuffleSplit only when a class is too small for stratification — which can
+    only happen on undersized *synthetic* stand-in data, never the real sets."""
+    try:
+        sss = StratifiedShuffleSplit(n_splits=1, test_size=test_size,
+                                     random_state=config.PREPROCESS_RANDOM_SEED)
+        return next(sss.split(indices, labels))
+    except ValueError:
+        ss = ShuffleSplit(n_splits=1, test_size=test_size,
+                          random_state=config.PREPROCESS_RANDOM_SEED)
+        return next(ss.split(indices))
+
+
 def _compute_properties(edge_index: np.ndarray, node_offsets: np.ndarray,
                         edge_offsets: np.ndarray, train_idx: np.ndarray) -> np.ndarray:
     g = len(node_offsets) - 1
@@ -74,17 +89,15 @@ def process_tu_dataset(name: str, raw_dir: Path, synthetic_scale: float = 1.0,
     needs_downstream = name in config.DOWNSTREAM_TUDATASETS
 
     if needs_downstream:
-        sss = StratifiedShuffleSplit(n_splits=1, test_size=config.VAL_TEST_FRACTION,
-                                     random_state=config.PREPROCESS_RANDOM_SEED)
-        train_idx, val_test_idx = next(sss.split(np.arange(num_graphs), y))
+        train_idx, val_test_idx = _stratified_or_plain(
+            np.arange(num_graphs), y, config.VAL_TEST_FRACTION)
 
         if name in config.CONTINUOUS_TUDATASETS:
             x = _scale_continuous_features(x, n_off, train_idx)
 
-        sss2 = StratifiedShuffleSplit(n_splits=1, test_size=config.VAL_TEST_SPLIT_RATIO,
-                                      random_state=config.PREPROCESS_RANDOM_SEED)
-        val_rel, test_rel = next(sss2.split(np.arange(len(val_test_idx)),
-                                            y[val_test_idx]))
+        val_rel, test_rel = _stratified_or_plain(
+            np.arange(len(val_test_idx)), y[val_test_idx],
+            config.VAL_TEST_SPLIT_RATIO)
         splits = {"train": train_idx.astype(np.int64),
                   "val": val_test_idx[val_rel].astype(np.int64),
                   "test": val_test_idx[test_rel].astype(np.int64)}

@@ -81,9 +81,11 @@ def generate_tu_dataset(name: str, seed: int = 0, scale: float = 1.0):
     xs, eis, labels = [], [], []
     node_offsets = [0]
     edge_offsets = [0]
-    for _ in range(g):
+    # Balanced, shuffled labels so stratified splits work at any scale.
+    label_seq = rng.permutation(np.arange(g) % spec.num_classes)
+    for gi in range(g):
         n = max(3, int(rng.poisson(spec.avg_nodes)))
-        y = int(rng.integers(0, spec.num_classes))
+        y = int(label_seq[gi])
         ei = _random_connected_graph(rng, n, spec.avg_degree)
 
         feats = np.zeros((n, spec.feat_dim), np.float32)

@@ -1,0 +1,533 @@
+"""Fine-tuning runtime: jitted per-task-type steps + host loop.
+
+Behavioural port of src/finetune/finetune.py:109-436:
+
+  * graph classification: padded graph batches, CE (or BCE-with-logits on
+    logits[:,1] for binary domains, :150-155), mean-pool readout;
+  * node classification: full-graph forward, logits gathered at the split's
+    node indices (:162-179);
+  * link prediction: per-batch hard-negative mining against a no-grad
+    embedding over the train edges (:181-205), then BCE on sigmoid scores;
+    val/test score the precomputed pos‖neg split edges;
+  * AdamW param groups with freeze rules (finetune_model.py:38-64): encoder
+    frozen for ENZYMES else lr 1e-3, backbone frozen for linear_probe else lr
+    1e-4, head lr 1e-3; torch-default weight decay 0.01; no grad clipping;
+  * model selection on val AUC (LP) / accuracy, patience = epochs/2, initial
+    checkpoint, best-reload for the test pass (:269-283,369-374,415-416).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from gnn_pretraining_tpu import config
+from gnn_pretraining_tpu.data.loaders import (
+    GraphClassificationData,
+    LinkPredictionData,
+    NodeClassificationData,
+    create_finetune_arrays,
+)
+from gnn_pretraining_tpu.finetune import metrics as M
+from gnn_pretraining_tpu.finetune.mining import (
+    build_forbidden_mask,
+    candidate_count,
+    hard_count,
+    mine_hard_negatives,
+)
+from gnn_pretraining_tpu.models.finetune_model import (
+    FinetuneGNN,
+    load_pretrained_into_finetune,
+)
+from gnn_pretraining_tpu.ops.spmm import build_dense_adjacency
+from gnn_pretraining_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from gnn_pretraining_tpu.utils.logging import MetricLogger
+
+
+@struct.dataclass
+class FTState:
+    params: dict
+    batch_stats: dict
+    opt_state: object
+
+
+# ---------------------------------------------------------------------------
+# Optimizer with freeze rules
+# ---------------------------------------------------------------------------
+
+
+def group_of_param(top_key: str, cfg: config.FinetuneConfig) -> str:
+    if top_key == "input_encoder":
+        return "frozen" if cfg.domain_name == "ENZYMES" else "encoder"
+    if top_key == "gnn_backbone":
+        return "frozen" if cfg.finetune_strategy == "linear_probe" else "backbone"
+    return "head"
+
+
+def create_finetune_optimizer(params, cfg: config.FinetuneConfig):
+    def _adamw(lr):
+        # torch AdamW default weight_decay=0.01 (the reference passes only lr).
+        return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
+
+    transforms = {
+        "encoder": _adamw(config.LR_FINETUNE),
+        "backbone": _adamw(config.LR_BACKBONE),
+        "head": _adamw(config.LR_FINETUNE),
+        "frozen": optax.set_to_zero(),
+    }
+    labels = {k: jax.tree.map(lambda _: group_of_param(k, cfg), v)
+              for k, v in params.items()}
+    lrs = {name: {"encoder": config.LR_FINETUNE, "backbone": config.LR_BACKBONE,
+                  "head": config.LR_FINETUNE}[name]
+           for name in ("encoder", "backbone", "head")
+           if any(jax.tree.leaves(jax.tree.map(lambda l: l == name, labels)))}
+    return optax.multi_transform(transforms, labels), labels, lrs
+
+
+def _trainable_mask_tree(params, labels):
+    return jax.tree.map(lambda _, l: float(l != "frozen"), params, labels)
+
+
+def _masked_grad_norm(grads, labels):
+    leaves = jax.tree.leaves(
+        jax.tree.map(lambda g, l: jnp.where(l != "frozen",
+                                            jnp.sum(g.astype(jnp.float32) ** 2),
+                                            0.0),
+                     grads, labels))
+    return jnp.sqrt(sum(leaves))
+
+
+def param_counts(params, labels) -> Tuple[int, int]:
+    total = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params))
+    trainable = sum(
+        int(np.prod(np.shape(p))) for p, l in
+        zip(jax.tree.leaves(params), jax.tree.leaves(labels)) if l != "frozen")
+    return total, trainable
+
+
+# ---------------------------------------------------------------------------
+# Jitted steps
+# ---------------------------------------------------------------------------
+
+
+def make_gc_steps(model, cfg, optimizer, labels):
+    c = config.NUM_CLASSES[cfg.domain_name]
+    binary = c == 2
+
+    def forward(params, stats, batch, train, rng):
+        variables = {"params": params, "batch_stats": stats}
+        adj = build_dense_adjacency(batch.senders, batch.receivers,
+                                    batch.edge_mask, batch.num_nodes)
+        kwargs = dict(adj=adj, senders=batch.senders, receivers=batch.receivers,
+                      edge_mask=batch.edge_mask, node_graph=batch.node_graph,
+                      num_graphs=batch.num_graphs)
+        if train:
+            return model.apply(variables, batch.x, batch.node_mask, True,
+                               mutable=["batch_stats"], rngs={"dropout": rng},
+                               **kwargs)
+        return model.apply(variables, batch.x, batch.node_mask, False,
+                           **kwargs), {"batch_stats": stats}
+
+    def loss_from_logits(logits, y, mask):
+        if binary:
+            z = logits[:, 1]
+            yf = y.astype(jnp.float32)
+            per = jnp.maximum(z, 0) - z * yf + jnp.log1p(jnp.exp(-jnp.abs(z)))
+        else:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            per = -jnp.take_along_axis(logp, y[:, None].astype(jnp.int32),
+                                       axis=1)[:, 0]
+        return jnp.sum(per * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: FTState, batch, rng):
+        def loss_fn(p):
+            (logits, mut) = forward(p, state.batch_stats, batch, True, rng)
+            loss = loss_from_logits(logits, batch.y, batch.graph_mask)
+            return loss, (logits, mut["batch_stats"])
+
+        (loss, (logits, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        gnorm = _masked_grad_norm(grads, labels)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        probs = jax.nn.softmax(logits, axis=-1)
+        preds = jnp.argmax(logits, axis=-1)
+        return (FTState(params, stats, opt_state), loss, batch.y, preds,
+                probs, gnorm)
+
+    @jax.jit
+    def eval_step(state: FTState, batch):
+        logits, _ = forward(state.params, state.batch_stats, batch, False, None)
+        loss = loss_from_logits(logits, batch.y, batch.graph_mask)
+        probs = jax.nn.softmax(logits, axis=-1)
+        preds = jnp.argmax(logits, axis=-1)
+        return loss, batch.y, preds, probs
+
+    return train_step, eval_step
+
+
+def make_nc_steps(model, cfg, optimizer, labels, graph, adj):
+    c = config.NUM_CLASSES[cfg.domain_name]
+    binary = c == 2
+
+    def forward(params, stats, train, rng):
+        variables = {"params": params, "batch_stats": stats}
+        kwargs = dict(adj=adj, senders=graph.senders, receivers=graph.receivers,
+                      edge_mask=graph.edge_mask)
+        if train:
+            return model.apply(variables, graph.x, graph.node_mask, True,
+                               mutable=["batch_stats"], rngs={"dropout": rng},
+                               **kwargs)
+        return model.apply(variables, graph.x, graph.node_mask, False,
+                           **kwargs), {"batch_stats": stats}
+
+    def loss_from_logits(logits, node_idx, y):
+        sel = logits[node_idx]
+        if binary:
+            z = sel[:, 1]
+            yf = y.astype(jnp.float32)
+            per = jnp.maximum(z, 0) - z * yf + jnp.log1p(jnp.exp(-jnp.abs(z)))
+        else:
+            logp = jax.nn.log_softmax(sel, axis=-1)
+            per = -jnp.take_along_axis(logp, y[:, None].astype(jnp.int32),
+                                       axis=1)[:, 0]
+        return jnp.mean(per), sel
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: FTState, node_idx, y, rng):
+        def loss_fn(p):
+            logits, mut = forward(p, state.batch_stats, True, rng)
+            loss, sel = loss_from_logits(logits, node_idx, y)
+            return loss, (sel, mut["batch_stats"])
+
+        (loss, (sel, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        gnorm = _masked_grad_norm(grads, labels)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        probs = jax.nn.softmax(sel, axis=-1)
+        preds = jnp.argmax(sel, axis=-1)
+        return FTState(params, stats, opt_state), loss, y, preds, probs, gnorm
+
+    @jax.jit
+    def eval_step(state: FTState, node_idx, y):
+        logits, _ = forward(state.params, state.batch_stats, False, None)
+        loss, sel = loss_from_logits(logits, node_idx, y)
+        probs = jax.nn.softmax(sel, axis=-1)
+        preds = jnp.argmax(sel, axis=-1)
+        return loss, y, preds, probs
+
+    return train_step, eval_step
+
+
+def _bce_probs(probs, y, mask):
+    logp = jnp.maximum(jnp.log(probs), -100.0)
+    log1mp = jnp.maximum(jnp.log1p(-probs), -100.0)
+    per = -(y * logp + (1.0 - y) * log1mp)
+    return jnp.sum(per * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def make_lp_steps(model, cfg, optimizer, labels, graph, adj_train,
+                  forbidden, num_hard):
+    def embed(params, stats, train, rng):
+        variables = {"params": params, "batch_stats": stats}
+        kwargs = dict(adj=adj_train, senders=graph.senders,
+                      receivers=graph.receivers, edge_mask=graph.edge_mask)
+        if train:
+            out, mut = model.apply(variables, graph.x, graph.node_mask, True,
+                                   mutable=["batch_stats"],
+                                   rngs={"dropout": rng},
+                                   method=FinetuneGNN.embed, **kwargs)
+            return out, mut["batch_stats"]
+        out = model.apply(variables, graph.x, graph.node_mask, False,
+                          method=FinetuneGNN.embed, **kwargs)
+        return out, stats
+
+    def score(params, stats, s, r, train, rng):
+        variables = {"params": params, "batch_stats": stats}
+        kwargs = dict(adj=adj_train, senders=graph.senders,
+                      receivers=graph.receivers, edge_mask=graph.edge_mask,
+                      score_senders=s, score_receivers=r)
+        if train:
+            return model.apply(variables, graph.x, graph.node_mask, True,
+                               mutable=["batch_stats"], rngs={"dropout": rng},
+                               **kwargs)
+        return model.apply(variables, graph.x, graph.node_mask, False,
+                           **kwargs), {"batch_stats": stats}
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: FTState, pos_edges, edge_mask, rng):
+        b = pos_edges.shape[1]
+        k_emb, k_mine, k_drop = jax.random.split(rng, 3)
+        # No-grad embedding in train mode: BN stats update, dropout active
+        # (reference finetune.py:186-188 under model.train()).
+        emb, stats = embed(state.params, state.batch_stats, True, k_emb)
+        emb = jax.lax.stop_gradient(emb)
+        neg_s, neg_r = mine_hard_negatives(emb, forbidden, k_mine,
+                                           num_negatives=b, num_hard=num_hard)
+        s = jnp.concatenate([pos_edges[0], neg_s])
+        r = jnp.concatenate([pos_edges[1], neg_r])
+        y = jnp.concatenate([jnp.ones(b), jnp.zeros(b)])
+        mask = jnp.concatenate([edge_mask, edge_mask])
+
+        def loss_fn(p):
+            probs, mut = score(p, stats, s, r, True, k_drop)
+            loss = _bce_probs(probs, y, mask)
+            return loss, (probs, mut["batch_stats"])
+
+        (loss, (probs, stats2)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        gnorm = _masked_grad_norm(grads, labels)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        preds = (probs > 0.5).astype(jnp.int32)
+        probs2 = jnp.stack([1.0 - probs, probs], axis=1)
+        return (FTState(params, stats2, opt_state), loss,
+                y.astype(jnp.int32), preds, probs2, mask, gnorm)
+
+    @jax.jit
+    def eval_step(state: FTState, edges, y, edge_mask):
+        probs, _ = score(state.params, state.batch_stats, edges[0], edges[1],
+                         False, None)
+        loss = _bce_probs(probs, y, edge_mask)
+        preds = (probs > 0.5).astype(jnp.int32)
+        probs2 = jnp.stack([1.0 - probs, probs], axis=1)
+        return loss, y.astype(jnp.int32), preds, probs2
+
+    return train_step, eval_step
+
+
+# ---------------------------------------------------------------------------
+# Host loop
+# ---------------------------------------------------------------------------
+
+
+def _init_finetune_model(cfg, data, aggregation, seed):
+    model = FinetuneGNN(domain_name=cfg.domain_name, aggregation=aggregation)
+    rngs = {"params": jax.random.PRNGKey(seed),
+            "dropout": jax.random.PRNGKey(seed + 1)}
+    if cfg.task_type == "graph_classification":
+        b = data["train"].batches[0]
+        variables = model.init(rngs, jnp.asarray(b.x), jnp.asarray(b.node_mask),
+                               True, senders=jnp.asarray(b.senders),
+                               receivers=jnp.asarray(b.receivers),
+                               edge_mask=jnp.asarray(b.edge_mask),
+                               node_graph=jnp.asarray(b.node_graph),
+                               num_graphs=b.num_graphs)
+    elif cfg.task_type == "node_classification":
+        g = data["train"].graph
+        variables = model.init(rngs, jnp.asarray(g.x), jnp.asarray(g.node_mask),
+                               True, senders=jnp.asarray(g.senders),
+                               receivers=jnp.asarray(g.receivers),
+                               edge_mask=jnp.asarray(g.edge_mask))
+    else:
+        g = data["train"].graph
+        e0 = jnp.asarray(data["train"].edges[0])
+        variables = model.init(rngs, jnp.asarray(g.x), jnp.asarray(g.node_mask),
+                               True, senders=jnp.asarray(g.senders),
+                               receivers=jnp.asarray(g.receivers),
+                               edge_mask=jnp.asarray(g.edge_mask),
+                               score_senders=e0[0], score_receivers=e0[1])
+    return model, variables
+
+
+def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
+             processed_dir=None, use_wandb: bool = True,
+             epochs: Optional[int] = None) -> Dict[str, float]:
+    training_start = time.time()
+    epochs = epochs or cfg.epochs
+    patience = int(epochs * config.FINETUNE_PATIENCE_FRACTION)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    logger = MetricLogger(config.FINETUNE_PROJECT_NAME, cfg.run_name,
+                          use_wandb=use_wandb)
+
+    data = {split: create_finetune_arrays(cfg.domain_name, split,
+                                          cfg.batch_size,
+                                          processed_dir=processed_dir)
+            for split in ("val", "test", "train")}
+
+    model, variables = _init_finetune_model(cfg, data, aggregation, cfg.seed)
+    if cfg.pretrained_scheme != "b1":
+        ckpt = load_checkpoint(
+            config.PRETRAIN_OUTPUT_DIR
+            / f"model_{cfg.pretrained_scheme}_{cfg.seed}.msgpack")
+        variables = load_pretrained_into_finetune(
+            variables, {"params": ckpt["params"],
+                        "batch_stats": ckpt["batch_stats"]}, cfg.domain_name)
+
+    optimizer, labels, lrs = create_finetune_optimizer(variables["params"], cfg)
+    state = FTState(params=variables["params"],
+                    batch_stats=variables["batch_stats"],
+                    opt_state=optimizer.init(variables["params"]))
+    total_params, trainable_params = param_counts(variables["params"], labels)
+
+    # Build the per-task-type steps + batch iterators.
+    if cfg.task_type == "graph_classification":
+        train_step, eval_step = make_gc_steps(model, cfg, optimizer, labels)
+
+        def train_batches():
+            for b in data["train"].batches:
+                yield ("gc", b)
+
+        def eval_batches(split):
+            for b in data[split].batches:
+                yield ("gc", b)
+    elif cfg.task_type == "node_classification":
+        g = data["train"].graph
+        adj = build_dense_adjacency(jnp.asarray(g.senders),
+                                    jnp.asarray(g.receivers),
+                                    jnp.asarray(g.edge_mask), g.num_nodes)
+        train_step, eval_step = make_nc_steps(model, cfg, optimizer, labels,
+                                              g, adj)
+
+        def train_batches():
+            d = data["train"]
+            for ix, y in zip(d.node_indices, d.labels):
+                yield ("nc", (jnp.asarray(ix), jnp.asarray(y)))
+
+        def eval_batches(split):
+            d = data[split]
+            for ix, y in zip(d.node_indices, d.labels):
+                yield ("nc", (jnp.asarray(ix), jnp.asarray(y)))
+    else:
+        g = data["train"].graph
+        train_edges = data["train"].train_edges
+        adj_train = build_dense_adjacency(jnp.asarray(g.senders),
+                                          jnp.asarray(g.receivers),
+                                          jnp.asarray(g.edge_mask),
+                                          g.num_nodes)
+        forbidden = build_forbidden_mask(g.num_nodes, train_edges)
+        n_cand = candidate_count(g.num_nodes, train_edges)
+        num_hard = hard_count(n_cand, cfg.batch_size)
+        train_step, eval_step = make_lp_steps(model, cfg, optimizer, labels,
+                                              g, adj_train, forbidden, num_hard)
+
+        def train_batches():
+            d = data["train"]
+            for e, m in zip(d.edges, d.edge_mask):
+                yield ("lp_train", (jnp.asarray(e), jnp.asarray(m)))
+
+        def eval_batches(split):
+            d = data[split]
+            for e, y, m in zip(d.edges, d.labels, d.edge_mask):
+                yield ("lp_eval", (jnp.asarray(e), jnp.asarray(y), jnp.asarray(m)))
+
+    ckpt_path = config.FINETUNE_OUTPUT_DIR / f"model_{cfg.run_name}.msgpack"
+    save_checkpoint(ckpt_path, state.params, state.batch_stats, 0, {})
+
+    def run_eval_pass(split, epoch):
+        batch_metrics = []
+        for kind, payload in eval_batches(split):
+            if kind == "gc":
+                b = payload
+                loss, y, preds, probs = eval_step(state, b)
+                valid = np.asarray(b.graph_mask) > 0
+            elif kind == "nc":
+                ix, y_in = payload
+                loss, y, preds, probs = eval_step(state, ix, y_in)
+                valid = np.ones(len(np.asarray(y)), bool)
+            else:
+                e, y_in, m = payload
+                loss, y, preds, probs = eval_step(state, e, y_in, m)
+                valid = np.asarray(m) > 0
+            bm = M.compute_batch_metrics(
+                cfg.domain_name, np.asarray(y)[valid],
+                np.asarray(preds)[valid], np.asarray(probs)[valid],
+                float(loss), split)
+            batch_metrics.append(bm)
+        return batch_metrics
+
+    best_val = -float("inf")
+    epochs_since_improvement = 0
+    global_step = 0
+    sel_key = "val/auc" if cfg.task_type == "link_prediction" else "val/accuracy"
+
+    epoch = 0
+    for epoch in range(1, epochs + 1):
+        for kind, payload in train_batches():
+            step_start = time.time()
+            global_step += 1
+            key, sub = jax.random.split(key)
+            if kind == "gc":
+                b = payload
+                state, loss, y, preds, probs, gnorm = train_step(state, b, sub)
+                valid = np.asarray(b.graph_mask) > 0
+            elif kind == "nc":
+                ix, y_in = payload
+                state, loss, y, preds, probs, gnorm = train_step(state, ix,
+                                                                 y_in, sub)
+                valid = np.ones(len(np.asarray(y)), bool)
+            else:
+                e, m = payload
+                state, loss, y, preds, probs, mask, gnorm = train_step(
+                    state, e, m, sub)
+                valid = np.asarray(mask) > 0
+            tm = M.compute_training_metrics(
+                epoch, global_step, float(loss), lrs, cfg.domain_name,
+                np.asarray(y)[valid], np.asarray(preds)[valid],
+                np.asarray(probs)[valid], step_start, float(gnorm))
+            logger.log(tm, step=global_step)
+
+        val_bm = run_eval_pass("val", epoch)
+        val_metrics = M.compute_validation_metrics(val_bm, epoch)
+        logger.log(val_metrics, step=global_step)
+
+        if val_metrics[sel_key] > best_val:
+            best_val = val_metrics[sel_key]
+            epochs_since_improvement = 0
+            save_checkpoint(ckpt_path, state.params, state.batch_stats, epoch,
+                            val_metrics)
+        else:
+            epochs_since_improvement += 1
+        if epochs_since_improvement >= patience:
+            break
+
+    # Reload best and run the test pass (reference :415-433).
+    best = load_checkpoint(ckpt_path)
+    state = FTState(params=best["params"], batch_stats=best["batch_stats"],
+                    opt_state=state.opt_state)
+    test_bm = run_eval_pass("test", epoch)
+    test_metrics = M.compute_test_metrics(
+        test_bm, epoch, epochs_since_improvement, training_start,
+        total_params, trainable_params)
+    logger.log(test_metrics, step=global_step)
+    logger.finish()
+    return test_metrics
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--domain_name", type=str, required=True)
+    parser.add_argument("--finetune_strategy", type=str, required=True)
+    parser.add_argument("--pretrained_scheme", type=str, required=True)
+    parser.add_argument("--seed", type=int, required=True)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--aggregation", type=str, default="dense",
+                        choices=["dense", "pallas", "coo"])
+    parser.add_argument("--no_wandb", action="store_true")
+    args = parser.parse_args()
+    cfg = config.FinetuneConfig(domain_name=args.domain_name,
+                                finetune_strategy=args.finetune_strategy,
+                                pretrained_scheme=args.pretrained_scheme,
+                                seed=args.seed)
+    result = finetune(cfg, aggregation=args.aggregation, epochs=args.epochs,
+                      use_wandb=not args.no_wandb)
+    print({k: round(v, 4) if isinstance(v, float) else v
+           for k, v in result.items()})
+
+
+if __name__ == "__main__":
+    main()

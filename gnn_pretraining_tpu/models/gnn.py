@@ -1,0 +1,121 @@
+"""Shared GNN building blocks: InputEncoder, GINLayer, GINBackbone.
+
+Behavioural ports of the reference modules (src/models/gnn.py:11-54) on padded
+masked batches:
+
+  * InputEncoder: Linear(d→256) → BatchNorm → ReLU → Dropout(0.2)
+  * GINLayer: GINConv(MLP[256→512(+BN+ReLU)→256], train_eps) with residual,
+    then BN → ReLU → Dropout(0.2). The GINConv neighbor sum runs on the MXU
+    (ops/spmm.py) instead of scatter-add.
+  * GINBackbone: 5 stacked GINLayers, hidden 256.
+
+Parameter init matches torch.nn.Linear (kaiming-uniform a=√5 ⇒
+U(±1/√fan_in) for both weight and bias) so from-scratch training dynamics are
+comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gnn_pretraining_tpu import config
+from gnn_pretraining_tpu.models.norm import MaskedBatchNorm
+from gnn_pretraining_tpu.ops.spmm import (
+    gin_aggregate_coo,
+    gin_aggregate_dense,
+    spmm_pallas,
+)
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """U(±1/√fan_in); shape is (fan_in, fan_out) in flax convention."""
+    fan_in = shape[0]
+    bound = 1.0 / jnp.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class TorchLinear(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param("kernel", torch_linear_kernel_init,
+                            (fan_in, self.features))
+        bound = 1.0 / jnp.sqrt(fan_in)
+        bias = self.param(
+            "bias",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (self.features,))
+        return x @ kernel + bias
+
+
+class InputEncoder(nn.Module):
+    """Per-domain projector (reference: src/models/gnn.py:11-23)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, node_mask: Optional[jnp.ndarray],
+                 train: bool) -> jnp.ndarray:
+        h = TorchLinear(config.GNN_HIDDEN_DIM, name="linear")(x)
+        h = MaskedBatchNorm(config.GNN_HIDDEN_DIM, name="batch_norm")(
+            h, node_mask, train)
+        h = nn.relu(h)
+        h = nn.Dropout(config.DROPOUT_RATE, deterministic=not train)(h)
+        return h
+
+
+def _aggregate(h: jnp.ndarray, eps: jnp.ndarray, adj, senders, receivers,
+               edge_mask, impl: str) -> jnp.ndarray:
+    if impl == "coo" or adj is None:
+        return gin_aggregate_coo(h, senders, receivers, edge_mask, eps)
+    if impl == "pallas":
+        return spmm_pallas(adj, h, eps)
+    return gin_aggregate_dense(h, adj, eps)
+
+
+class GINLayer(nn.Module):
+    """GINConv + residual + BN + ReLU + Dropout (reference: gnn.py:26-43)."""
+
+    aggregation: str = "dense"   # "dense" | "pallas" | "coo"
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, node_mask, train: bool, *,
+                 adj=None, senders=None, receivers=None, edge_mask=None
+                 ) -> jnp.ndarray:
+        # PyG GINConv(train_eps=True) starts at eps=0.
+        eps = self.param("eps", nn.initializers.zeros, ())
+        z = _aggregate(h, eps, adj, senders, receivers, edge_mask,
+                       self.aggregation)
+        # The GIN MLP: 256 → 512 (+BN+ReLU) → 256.
+        z = TorchLinear(2 * config.GNN_HIDDEN_DIM, name="mlp_0")(z)
+        z = MaskedBatchNorm(2 * config.GNN_HIDDEN_DIM, name="mlp_bn")(
+            z, node_mask, train)
+        z = nn.relu(z)
+        z = TorchLinear(config.GNN_HIDDEN_DIM, name="mlp_1")(z)
+
+        z = z + h  # residual
+        z = MaskedBatchNorm(config.GNN_HIDDEN_DIM, name="batch_norm")(
+            z, node_mask, train)
+        z = nn.relu(z)
+        z = nn.Dropout(config.DROPOUT_RATE, deterministic=not train)(z)
+        return z
+
+
+class GINBackbone(nn.Module):
+    """5 stacked GINLayers (reference: gnn.py:46-54)."""
+
+    aggregation: str = "dense"
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, node_mask, train: bool, *,
+                 adj=None, senders=None, receivers=None, edge_mask=None
+                 ) -> jnp.ndarray:
+        for i in range(config.GNN_NUM_LAYERS):
+            h = GINLayer(self.aggregation, name=f"layers_{i}")(
+                h, node_mask, train, adj=adj, senders=senders,
+                receivers=receivers, edge_mask=edge_mask)
+        return h

@@ -1,0 +1,365 @@
+"""Pretraining runtime: one jit-compiled multi-task train step + host loop.
+
+Behavioural port of src/pretrain/pretrain.py:96-353, re-architected for XLA:
+all task losses, per-task gradients, PCGrad projections, the loss balancer,
+domain-adversarial accumulation, torch-style clipping and the AdamW update run
+inside a single compiled step per scheme. The host loop only samples batches,
+logs metrics, evaluates per epoch, early-stops (patience 25) and checkpoints
+the best balanced validation loss.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from gnn_pretraining_tpu import config
+from gnn_pretraining_tpu.data.loaders import (
+    create_pretrain_train_loader,
+    create_pretrain_val_loader,
+)
+from gnn_pretraining_tpu.models.pretrain_model import PretrainableGNN
+from gnn_pretraining_tpu.pretrain.balancer import balance_losses
+from gnn_pretraining_tpu.pretrain.optimizers import (
+    clip_grads_torch,
+    create_task_specific_optimizer,
+)
+from gnn_pretraining_tpu.pretrain.pcgrad import apply_pcgrad
+from gnn_pretraining_tpu.pretrain.schedulers import grl_lambda_at, temperature_at
+from gnn_pretraining_tpu.pretrain.tasks import TaskContext, compute_task_loss
+from gnn_pretraining_tpu.utils.checkpoint import save_checkpoint
+from gnn_pretraining_tpu.utils.logging import MetricLogger
+
+
+@struct.dataclass
+class TrainState:
+    params: dict
+    batch_stats: dict
+    opt_state: object
+    opt_step: jnp.ndarray       # scheduler step counter (pre-step value)
+    balancer_step: jnp.ndarray  # AdaptiveLossBalancer.step_count
+
+
+def init_model(cfg: config.PretrainConfig, sample_batches, aggregation: str
+               ) -> Tuple[PretrainableGNN, dict]:
+    model = PretrainableGNN(domain_names=tuple(cfg.pretrain_domains),
+                            task_names=tuple(cfg.active_tasks),
+                            aggregation=aggregation)
+    first_domain = cfg.pretrain_domains[0]
+    b = sample_batches[first_domain]
+    variables = model.init(
+        {"params": jax.random.PRNGKey(cfg.seed),
+         "dropout": jax.random.PRNGKey(cfg.seed + 1)},
+        jnp.asarray(b.x), jnp.asarray(b.node_mask), first_domain, True,
+        senders=jnp.asarray(b.senders), receivers=jnp.asarray(b.receivers),
+        edge_mask=jnp.asarray(b.edge_mask))
+    # init() only traces one domain's encoder+backbone path; initialize the
+    # remaining encoders and the heads by running init per domain.
+    for domain in cfg.pretrain_domains[1:]:
+        bd = sample_batches[domain]
+        v2 = model.init(
+            {"params": jax.random.PRNGKey(cfg.seed),
+             "dropout": jax.random.PRNGKey(cfg.seed + 1)},
+            jnp.asarray(bd.x), jnp.asarray(bd.node_mask), domain, True,
+            senders=jnp.asarray(bd.senders), receivers=jnp.asarray(bd.receivers),
+            edge_mask=jnp.asarray(bd.edge_mask))
+        for col in variables:
+            for k, v in v2[col].items():
+                if k not in variables[col]:
+                    variables[col][k] = v
+    # Heads: initialize lazily via a dedicated init pass.
+    variables = _init_heads(model, cfg, variables, sample_batches)
+    return model, variables
+
+
+def _init_heads(model, cfg, variables, sample_batches):
+    """Ensure every head's params exist by tracing each head method once."""
+    rngs = {"params": jax.random.PRNGKey(cfg.seed + 2),
+            "dropout": jax.random.PRNGKey(cfg.seed + 3)}
+    h = jnp.zeros((8, config.GNN_HIDDEN_DIM))
+    s2 = jnp.zeros((4, 2 * config.GNN_HIDDEN_DIM))
+    idx = jnp.zeros(4, jnp.int32)
+    for task in cfg.active_tasks:
+        for domain in cfg.pretrain_domains:
+            if task == "node_feat_mask":
+                method, args = PretrainableGNN.nfm_head, (h, domain, False)
+            elif task == "link_pred":
+                method, args = PretrainableGNN.link_pred_head, (h, idx, idx, False)
+            elif task == "node_contrast":
+                method, args = PretrainableGNN.node_contrast_head, (h, domain, False)
+            elif task == "graph_contrast":
+                method, args = PretrainableGNN.graph_contrast_head, (s2, domain, False)
+            elif task == "graph_prop":
+                method, args = PretrainableGNN.graph_prop_head, (h, domain, False)
+            elif task == "domain_adv":
+                method, args = PretrainableGNN.domain_adv_head, (h, jnp.float32(0.0), False)
+            out = model.init(rngs, *args, method=method)
+            for k, v in out.get("params", {}).items():
+                if k not in variables["params"]:
+                    variables["params"][k] = v
+            if task in ("link_pred", "domain_adv"):
+                break  # shared heads: one init is enough
+    return variables
+
+
+def make_train_step(model: PretrainableGNN, cfg: config.PretrainConfig,
+                    optimizer, total_steps: int):
+    """Per-task jitted gradient steps + one jitted combine/update step.
+
+    Splitting keeps each compiled program small (one monolithic step for a
+    5-task scheme takes minutes to compile); intermediate grads stay on device
+    between the sub-steps, so the host only orchestrates.
+    """
+    main_tasks = [t for t in cfg.active_tasks if t != "domain_adv"]
+    has_da = "domain_adv" in cfg.active_tasks
+
+    @functools.partial(jax.jit, static_argnames=("task",))
+    def task_grad_step(params, stats, task, domain_batches, key, step):
+        ctx = TaskContext(temperature=temperature_at(step, total_steps),
+                          grl_lambda=grl_lambda_at(step, total_steps),
+                          train=True)
+
+        def loss_fn(p, s):
+            loss, pd, s2 = compute_task_loss(task, model, p, s, domain_batches,
+                                             key, ctx)
+            return loss, (pd, s2)
+
+        (loss, (pd, stats2)), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, stats)
+        return loss, pd, stats2, g
+
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def update_step(params, opt_state, balancer_step, task_losses, grads,
+                    da_grads, key):
+        total_loss, weights, balancer_step = balance_losses(
+            task_losses, balancer_step)
+
+        surgery_metrics = {}
+        if len(main_tasks) > 1:
+            combined, surgery_metrics = apply_pcgrad(grads, params, key)
+        else:
+            combined = grads[main_tasks[0]]
+        if da_grads is not None:
+            combined = jax.tree.map(lambda a, b: a + b, combined, da_grads)
+
+        clipped, pre_norm = clip_grads_torch(combined)
+        updates, opt_state = optimizer.update(clipped, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        # Reference logs the grad norm *after* clipping (pretrain.py:182-188).
+        post_norm = pre_norm * jnp.minimum(
+            config.MAX_GRAD_NORM / (pre_norm + 1e-6), 1.0)
+
+        metrics = dict(surgery_metrics)
+        metrics["train/loss/total"] = total_loss
+        for t, w in weights.items():
+            metrics[f"train/loss_balancer/weight/{t}"] = w
+        metrics["train/gradients/model_grad_norm"] = post_norm
+        return params, opt_state, balancer_step, metrics
+
+    def train_step(state: TrainState, domain_batches, key):
+        step = state.opt_step
+        keys = jax.random.split(key, len(cfg.active_tasks) + 1)
+        stats = state.batch_stats
+
+        task_losses = {}
+        per_domain_task = {}
+        grads = {}
+        for i, t in enumerate(main_tasks):
+            loss, pd, stats, g = task_grad_step(state.params, stats, t,
+                                                domain_batches, keys[i], step)
+            task_losses[t] = loss
+            per_domain_task[t] = pd
+            grads[t] = g
+
+        da_loss = None
+        da_grads = None
+        if has_da:
+            da_loss, da_pd, stats, da_grads = task_grad_step(
+                state.params, stats, "domain_adv", domain_batches,
+                keys[len(main_tasks)], step)
+            per_domain_task["domain_adv"] = da_pd
+
+        params, opt_state, balancer_step, metrics = update_step(
+            state.params, state.opt_state, state.balancer_step, task_losses,
+            grads, da_grads, keys[-1])
+
+        for t, pd in per_domain_task.items():
+            for d, v in pd.items():
+                metrics[f"train/loss/{d}/{t}"] = v
+        all_losses = dict(task_losses)
+        if has_da:
+            all_losses["domain_adv"] = da_loss
+        for t, v in all_losses.items():
+            metrics[f"train/loss/{t}"] = v
+        for d in cfg.pretrain_domains:
+            metrics[f"train/loss/{d}"] = float(
+                sum(float(per_domain_task[t][d]) for t in per_domain_task))
+        if has_da:
+            # Reference logs λ after stepping the scheduler (pretrain.py:173).
+            metrics["train/domain_adv/lambda"] = grl_lambda_at(
+                state.opt_step + 1, total_steps)
+            metrics["train/domain_adv/loss"] = da_loss
+
+        new_state = TrainState(params=params, batch_stats=stats,
+                               opt_state=opt_state, opt_step=step + 1,
+                               balancer_step=balancer_step)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_fn(model: PretrainableGNN, cfg: config.PretrainConfig,
+                 total_steps: int):
+    @functools.partial(jax.jit, static_argnames=("task", "domain"))
+    def eval_task_batch(params, stats, task, domain, batch, key, step):
+        ctx = TaskContext(temperature=temperature_at(step, total_steps),
+                          grl_lambda=grl_lambda_at(step, total_steps),
+                          train=False)
+        loss, _, _ = compute_task_loss(task, model, params, stats,
+                                       {domain: batch}, key, ctx)
+        return loss
+
+    return eval_task_batch
+
+
+def _np_balance(task_losses: Dict[str, float], step_count: int
+                ) -> Tuple[float, int]:
+    """Host-side mirror of the balancer for eval totals (same semantics)."""
+    names = list(task_losses.keys())
+    if len(names) == 1:
+        return float(task_losses[names[0]]), step_count
+    step_count += 1
+    vals = np.array([task_losses[n] for n in names])
+    if step_count > config.BALANCER_WARMUP_STEPS:
+        inv = 1.0 / (np.abs(vals) + config.BALANCER_EPSILON)
+        w = inv / inv.sum()
+    else:
+        w = np.full(len(names), 1.0 / len(names))
+    return float(max((w * vals).sum(), config.BALANCER_MIN_TOTAL_LOSS)), step_count
+
+
+def run_evaluation(eval_fn, state, cfg, val_loaders, key, epoch,
+                   logger, global_step):
+    per_task = {}
+    per_domain_task = {d: {} for d in val_loaders}
+    for task in cfg.active_tasks:
+        domain_means = []
+        for domain, batches in val_loaders.items():
+            losses = []
+            for i, b in enumerate(batches):
+                key, sub = jax.random.split(key)
+                losses.append(float(eval_fn(state.params, state.batch_stats,
+                                            task, domain, b, sub,
+                                            state.opt_step)))
+            m = float(np.mean(losses))
+            per_domain_task[domain][task] = m
+            domain_means.append(m)
+        per_task[task] = float(np.mean(domain_means))
+
+    main = {t: v for t, v in per_task.items() if t != "domain_adv"}
+    balancer_step = int(state.balancer_step)
+    total, balancer_step = _np_balance(main, balancer_step)
+
+    metrics = {}
+    for d, tasks in per_domain_task.items():
+        for t, v in tasks.items():
+            metrics[f"val/loss/{d}/{t}"] = v
+        metrics[f"val/loss/{d}"] = float(np.mean(list(tasks.values())))
+    for t, v in per_task.items():
+        metrics[f"val/loss/{t}"] = v
+    metrics["val/loss/total"] = total
+    if "domain_adv" in per_task:
+        metrics["val/domain_adv/loss"] = per_task["domain_adv"]
+    logger.log(metrics, step=global_step)
+    return total, metrics, balancer_step
+
+
+def pretrain(cfg: config.PretrainConfig, aggregation: str = "dense",
+             epochs: int = config.PRETRAIN_EPOCHS,
+             processed_dir=None, use_wandb: bool = True) -> dict:
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    logger = MetricLogger(config.PRETRAIN_PROJECT_NAME, cfg.run_name,
+                          use_wandb=use_wandb)
+
+    val_loaders = {d: create_pretrain_val_loader(d, processed_dir=processed_dir)
+                   for d in cfg.pretrain_domains}
+    train_loader = create_pretrain_train_loader(cfg.pretrain_domains, rng,
+                                                processed_dir=processed_dir)
+    steps_per_epoch = len(train_loader)
+    total_steps = steps_per_epoch * epochs
+
+    sample = train_loader.sample_step()
+    model, variables = init_model(cfg, sample, aggregation)
+
+    optimizer = create_task_specific_optimizer(variables["params"],
+                                               cfg.active_tasks)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=optimizer.init(variables["params"]),
+                       opt_step=jnp.int32(0),
+                       balancer_step=jnp.int32(0))
+
+    train_step = make_train_step(model, cfg, optimizer, total_steps)
+    eval_fn = make_eval_fn(model, cfg, total_steps)
+
+    best_total = float("inf")
+    epochs_since_improvement = 0
+    global_step = 0
+    ckpt_path = config.PRETRAIN_OUTPUT_DIR / f"model_{cfg.run_name}.msgpack"
+
+    for epoch in range(1, epochs + 1):
+        for domain_batches in train_loader:
+            global_step += 1
+            key, sub = jax.random.split(key)
+            state, metrics = train_step(state, domain_batches, sub)
+            metrics = {k: float(v) for k, v in metrics.items()}
+            metrics["train/progress/epoch"] = epoch
+            logger.log(metrics, step=global_step)
+
+        key, sub = jax.random.split(key)
+        total, val_metrics, balancer_step = run_evaluation(
+            eval_fn, state, cfg, val_loaders, sub, epoch, logger, global_step)
+        state = state.replace(balancer_step=jnp.int32(balancer_step))
+
+        if total < best_total:
+            best_total = total
+            epochs_since_improvement = 0
+            save_checkpoint(ckpt_path, state.params, state.batch_stats, epoch,
+                            val_metrics)
+        else:
+            epochs_since_improvement += 1
+        if epochs_since_improvement >= int(epochs * config.PRETRAIN_PATIENCE_FRACTION):
+            break
+
+    logger.finish()
+    return {"best_val_total": best_total, "epochs": epoch,
+            "checkpoint": str(ckpt_path)}
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--exp_name", type=str, required=True)
+    parser.add_argument("--seed", type=int, required=True)
+    parser.add_argument("--epochs", type=int, default=config.PRETRAIN_EPOCHS)
+    parser.add_argument("--aggregation", type=str, default="dense",
+                        choices=["dense", "pallas", "coo"])
+    parser.add_argument("--no_wandb", action="store_true")
+    args = parser.parse_args()
+    cfg = config.PretrainConfig(exp_name=args.exp_name, seed=args.seed)
+    result = pretrain(cfg, aggregation=args.aggregation, epochs=args.epochs,
+                      use_wandb=not args.no_wandb)
+    print(result)
+
+
+if __name__ == "__main__":
+    main()

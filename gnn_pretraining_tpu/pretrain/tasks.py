@@ -1,0 +1,330 @@
+"""The six pretraining tasks as pure jit-able loss functions.
+
+Behavioural ports of src/pretrain/tasks.py:61-343. Each task computes, for a
+dict of per-domain padded batches, ``(scalar_loss, {domain: loss})`` with the
+reference's size-weighted aggregation: scalar = Σ per-domain loss *sums* /
+Σ element counts. BatchNorm running stats thread through every forward in the
+same order the reference executes them (tasks outer, domains inner).
+
+Static-shape re-designs (semantics preserved):
+  * NFM masking selects ``max(1, ⌊0.15·n⌋)`` nodes per graph (min 3) as a
+    boolean mask; the no-grad encode still updates BN stats in train mode
+    (reference pretrain_model.py:67-88).
+  * LP negatives come from fixed-round rejection sampling (ops/sampling.py)
+    instead of PyG ``batched_negative_sampling``.
+  * Contrastive views are masks (pretrain/augmentations.py); NT-Xent runs on
+    padded rows with a validity mask (ops/sddmm.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gnn_pretraining_tpu import config
+from gnn_pretraining_tpu.data.batch import GraphBatch
+from gnn_pretraining_tpu.data.properties import GRAPH_PROPERTY_DIM
+from gnn_pretraining_tpu.models.pretrain_model import PretrainableGNN
+from gnn_pretraining_tpu.ops.sampling import (
+    batched_negative_sampling,
+    masked_randperm_select,
+)
+from gnn_pretraining_tpu.ops.sddmm import nt_xent_loss
+from gnn_pretraining_tpu.ops.segment import (
+    segment_max,
+    segment_mean,
+    segment_softmax_ce,
+)
+from gnn_pretraining_tpu.ops.spmm import build_dense_adjacency
+from gnn_pretraining_tpu.pretrain.augmentations import create_two_views
+
+H = config.GNN_HIDDEN_DIM
+_LOG_CLAMP = -100.0  # torch.binary_cross_entropy clamps log terms at -100
+
+
+class TaskContext(NamedTuple):
+    temperature: jnp.ndarray
+    grl_lambda: jnp.ndarray
+    train: bool
+
+
+def _apply_forward(model: PretrainableGNN, params, stats, x, node_mask, domain,
+                   key, train, *, adj, senders, receivers, edge_mask):
+    """One encoder+backbone forward, threading batch_stats in train mode."""
+    variables = {"params": params, "batch_stats": stats}
+    if train:
+        out, mut = model.apply(
+            variables, x, node_mask, domain, True, adj=adj, senders=senders,
+            receivers=receivers, edge_mask=edge_mask,
+            mutable=["batch_stats"], rngs={"dropout": key})
+        return out, mut["batch_stats"]
+    out = model.apply(variables, x, node_mask, domain, False, adj=adj,
+                      senders=senders, receivers=receivers, edge_mask=edge_mask)
+    return out, stats
+
+
+def _apply_method(model, params, stats, method, args, key, train):
+    variables = {"params": params, "batch_stats": stats}
+    if train:
+        out, mut = model.apply(variables, *args, mutable=["batch_stats"],
+                               rngs={"dropout": key}, method=method)
+        return out, mut["batch_stats"]
+    out = model.apply(variables, *args, method=method)
+    return out, stats
+
+
+def _head(model, params, method, args, key, train):
+    """Heads have no BN, so no stats threading — just dropout rngs."""
+    variables = {"params": params}
+    if train:
+        return model.apply(variables, *args, rngs={"dropout": key}, method=method)
+    return model.apply(variables, *args, method=method)
+
+
+def _batch_adj(batch: GraphBatch, edge_mask=None) -> jnp.ndarray:
+    return build_dense_adjacency(batch.senders, batch.receivers,
+                                 batch.edge_mask if edge_mask is None else edge_mask,
+                                 batch.num_nodes)
+
+
+def _safe_div(a, b):
+    return a / jnp.maximum(b, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Tasks
+# ---------------------------------------------------------------------------
+
+
+def node_feat_mask_loss(model, params, stats, domain_batches, key, ctx):
+    """Reference: tasks.py:70-94 + pretrain_model.py:67-88."""
+    total_loss = 0.0
+    total_size = 0.0
+    per_domain = {}
+    for domain, batch in domain_batches.items():
+        key, k_enc, k_sel, k_bb, k_head = jax.random.split(key, 5)
+        # no-grad encode; BN stats still update in train mode (:68-69)
+        h0, stats = _apply_method(model, params, stats, PretrainableGNN.encode,
+                                  (batch.x, batch.node_mask, domain, ctx.train),
+                                  k_enc, ctx.train)
+        h0 = jax.lax.stop_gradient(h0)
+
+        n = batch.n_node
+        num_mask = jnp.where(
+            n >= config.NODE_FEATURE_MASKING_MIN_NUM_NODES,
+            jnp.maximum(1, (n.astype(jnp.float32)
+                            * config.NODE_FEATURE_MASKING_MASK_RATE).astype(jnp.int32)),
+            0)
+        mask = masked_randperm_select(k_sel, batch.node_graph, batch.node_mask,
+                                      num_mask)
+        mask_f = mask.astype(jnp.float32)
+
+        mask_token = model.apply({"params": params},
+                                 method=PretrainableGNN.get_mask_token)
+        masked_h0 = jnp.where(mask[:, None], mask_token[None, :], h0)
+
+        adj = _batch_adj(batch)
+        h_final, stats = _apply_backbone(model, params, stats, masked_h0,
+                                         batch, adj, k_bb, ctx.train)
+
+        rec = _head(model, params, PretrainableGNN.nfm_head,
+                    (h_final, domain, ctx.train), k_head, ctx.train)
+        sq = jnp.sum((rec - h0) ** 2, axis=1) * mask_f
+        loss_sum = jnp.sum(sq)
+        size = jnp.sum(mask_f) * H
+        total_loss += loss_sum
+        total_size += size
+        per_domain[domain] = _safe_div(loss_sum, size)
+    return _safe_div(total_loss, total_size), per_domain, stats
+
+
+def _apply_backbone(model, params, stats, h0, batch, adj, key, train):
+    variables = {"params": params, "batch_stats": stats}
+    args = (h0, batch.node_mask, train)
+    kwargs = dict(adj=adj, senders=batch.senders, receivers=batch.receivers,
+                  edge_mask=batch.edge_mask)
+    if train:
+        out, mut = model.apply(variables, *args, mutable=["batch_stats"],
+                               rngs={"dropout": key},
+                               method=PretrainableGNN.run_backbone, **kwargs)
+        return out, mut["batch_stats"]
+    out = model.apply(variables, *args, method=PretrainableGNN.run_backbone,
+                      **kwargs)
+    return out, stats
+
+
+def link_pred_loss(model, params, stats, domain_batches, key, ctx):
+    """Reference: tasks.py:97-127."""
+    total_loss = 0.0
+    total_size = 0.0
+    per_domain = {}
+    for domain, batch in domain_batches.items():
+        key, k_neg, k_fwd, k_head = jax.random.split(key, 4)
+        adj = _batch_adj(batch)
+        und = ((adj + adj.T) > 0).astype(jnp.float32)
+        neg_s, neg_r = batched_negative_sampling(
+            k_neg, und, batch.edge_graph, batch.edge_mask, batch.node_start,
+            batch.n_node)
+
+        h, stats = _apply_forward(
+            model, params, stats, batch.x, batch.node_mask, domain, k_fwd,
+            ctx.train, adj=adj, senders=batch.senders,
+            receivers=batch.receivers, edge_mask=batch.edge_mask)
+
+        senders = jnp.concatenate([batch.senders, neg_s])
+        receivers = jnp.concatenate([batch.receivers, neg_r])
+        labels = jnp.concatenate([jnp.ones(batch.num_edges),
+                                  jnp.zeros(batch.num_edges)])
+        mask = jnp.concatenate([batch.edge_mask, batch.edge_mask])
+
+        probs = _head(model, params, PretrainableGNN.link_pred_head,
+                      (h, senders, receivers, ctx.train), k_head, ctx.train)
+        log_p = jnp.maximum(jnp.log(probs), _LOG_CLAMP)
+        log_1mp = jnp.maximum(jnp.log1p(-probs), _LOG_CLAMP)
+        bce = -(labels * log_p + (1.0 - labels) * log_1mp) * mask
+        loss_sum = jnp.sum(bce)
+        size = jnp.sum(mask)
+        total_loss += loss_sum
+        total_size += size
+        per_domain[domain] = _safe_div(loss_sum, size)
+    return _safe_div(total_loss, total_size), per_domain, stats
+
+
+def _view_forward(model, params, stats, batch, view, domain, key, train):
+    adj = _batch_adj(batch, edge_mask=view.edge_keep)
+    return _apply_forward(model, params, stats, view.x, view.node_keep, domain,
+                          key, train, adj=adj, senders=batch.senders,
+                          receivers=batch.receivers, edge_mask=view.edge_keep)
+
+
+def node_contrast_loss(model, params, stats, domain_batches, key, ctx):
+    """Reference: tasks.py:130-213."""
+    total_loss = 0.0
+    total_size = 0.0
+    per_domain = {}
+    for domain, batch in domain_batches.items():
+        key, k_aug, k_f1, k_f2, k_h1, k_h2 = jax.random.split(key, 6)
+        v1, v2, common = create_two_views(k_aug, batch)
+        h1, stats = _view_forward(model, params, stats, batch, v1, domain, k_f1, ctx.train)
+        h2, stats = _view_forward(model, params, stats, batch, v2, domain, k_f2, ctx.train)
+
+        z1 = _head(model, params, PretrainableGNN.node_contrast_head,
+                   (h1, domain, ctx.train), k_h1, ctx.train)
+        z2 = _head(model, params, PretrainableGNN.node_contrast_head,
+                   (h2, domain, ctx.train), k_h2, ctx.train)
+
+        loss_sum, rows = nt_xent_loss(z1, z2, ctx.temperature, common)
+        # skip domain when fewer than 2 common nodes (:173-175)
+        valid = (jnp.sum(common) >= 2).astype(jnp.float32)
+        loss_sum = loss_sum * valid
+        rows = rows * valid
+        total_loss += loss_sum
+        total_size += rows
+        per_domain[domain] = _safe_div(loss_sum, rows)
+    return _safe_div(total_loss, total_size), per_domain, stats
+
+
+def graph_contrast_loss(model, params, stats, domain_batches, key, ctx):
+    """Reference: tasks.py:216-287."""
+    total_loss = 0.0
+    total_size = 0.0
+    per_domain = {}
+    for domain, batch in domain_batches.items():
+        key, k_aug, k_f1, k_f2, k_h1, k_h2 = jax.random.split(key, 6)
+        g = batch.num_graphs
+        v1, v2, _ = create_two_views(k_aug, batch)
+        h1, stats = _view_forward(model, params, stats, batch, v1, domain, k_f1, ctx.train)
+        h2, stats = _view_forward(model, params, stats, batch, v2, domain, k_f2, ctx.train)
+
+        s1 = jnp.concatenate(
+            [segment_mean(h1, batch.node_graph, g, v1.node_keep),
+             segment_max(h1, batch.node_graph, g, v1.node_keep)], axis=1)
+        s2 = jnp.concatenate(
+            [segment_mean(h2, batch.node_graph, g, v2.node_keep),
+             segment_max(h2, batch.node_graph, g, v2.node_keep)], axis=1)
+
+        z1 = _head(model, params, PretrainableGNN.graph_contrast_head,
+                   (s1, domain, ctx.train), k_h1, ctx.train)
+        z2 = _head(model, params, PretrainableGNN.graph_contrast_head,
+                   (s2, domain, ctx.train), k_h2, ctx.train)
+
+        loss_sum, rows = nt_xent_loss(z1, z2, ctx.temperature, batch.graph_mask)
+        # skip domain with fewer than 2 graphs (:231-234)
+        valid = (jnp.sum(batch.graph_mask) >= 2).astype(jnp.float32)
+        loss_sum = loss_sum * valid
+        rows = rows * valid
+        total_loss += loss_sum
+        total_size += rows
+        per_domain[domain] = _safe_div(loss_sum, rows)
+    return _safe_div(total_loss, total_size), per_domain, stats
+
+
+def graph_prop_loss(model, params, stats, domain_batches, key, ctx):
+    """Reference: tasks.py:290-312."""
+    total_loss = 0.0
+    total_size = 0.0
+    per_domain = {}
+    for domain, batch in domain_batches.items():
+        key, k_fwd, k_head = jax.random.split(key, 3)
+        g = batch.num_graphs
+        adj = _batch_adj(batch)
+        h, stats = _apply_forward(
+            model, params, stats, batch.x, batch.node_mask, domain, k_fwd,
+            ctx.train, adj=adj, senders=batch.senders,
+            receivers=batch.receivers, edge_mask=batch.edge_mask)
+        graph_emb = segment_mean(h, batch.node_graph, g, batch.node_mask)
+        preds = _head(model, params, PretrainableGNN.graph_prop_head,
+                      (graph_emb, domain, ctx.train), k_head, ctx.train)
+        sq = jnp.sum((preds - batch.graph_properties) ** 2, axis=1) * batch.graph_mask
+        loss_sum = jnp.sum(sq)
+        size = jnp.sum(batch.graph_mask) * GRAPH_PROPERTY_DIM
+        total_loss += loss_sum
+        total_size += size
+        per_domain[domain] = _safe_div(loss_sum, size)
+    return _safe_div(total_loss, total_size), per_domain, stats
+
+
+def domain_adv_loss(model, params, stats, domain_batches, key, ctx):
+    """Reference: tasks.py:315-343. Domain label = index in the scheme's
+    domain tuple (insertion order of input_encoders, :318)."""
+    total_loss = 0.0
+    total_size = 0.0
+    per_domain = {}
+    domain_names = list(domain_batches.keys())
+    for idx, (domain, batch) in enumerate(domain_batches.items()):
+        key, k_fwd, k_head = jax.random.split(key, 3)
+        g = batch.num_graphs
+        adj = _batch_adj(batch)
+        h, stats = _apply_forward(
+            model, params, stats, batch.x, batch.node_mask, domain, k_fwd,
+            ctx.train, adj=adj, senders=batch.senders,
+            receivers=batch.receivers, edge_mask=batch.edge_mask)
+        graph_emb = segment_mean(h, batch.node_graph, g, batch.node_mask)
+        logits = _head(model, params, PretrainableGNN.domain_adv_head,
+                       (graph_emb, ctx.grl_lambda, ctx.train), k_head, ctx.train)
+        labels = jnp.full((g,), idx, jnp.int32)
+        loss_sum, _ = segment_softmax_ce(logits, labels, row_mask=batch.graph_mask)
+        size = jnp.sum(batch.graph_mask)
+        total_loss += loss_sum
+        total_size += size
+        per_domain[domain] = _safe_div(loss_sum, size)
+    del domain_names
+    return _safe_div(total_loss, total_size), per_domain, stats
+
+
+TASK_FNS = {
+    "node_feat_mask": node_feat_mask_loss,
+    "link_pred": link_pred_loss,
+    "node_contrast": node_contrast_loss,
+    "graph_contrast": graph_contrast_loss,
+    "graph_prop": graph_prop_loss,
+    "domain_adv": domain_adv_loss,
+}
+
+
+def compute_task_loss(task_name: str, model, params, stats,
+                      domain_batches: Dict[str, GraphBatch], key, ctx: TaskContext
+                      ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], dict]:
+    return TASK_FNS[task_name](model, params, stats, domain_batches, key, ctx)

@@ -1,0 +1,65 @@
+"""Metric sink: local JSONL (source of truth) with optional wandb mirroring.
+
+The reference logs everything to wandb (pretrain.py:190, finetune.py:339) and
+its analysis layer consumes the ``test/*`` summary namespace via the wandb API
+(analysis/data_collection.py:60-113). Here the same metric namespaces are
+written to ``outputs/metrics/<project>/<run>.jsonl``; the analysis layer reads
+those files. If wandb is importable and ``WANDB_MODE`` is not disabled, logs
+are mirrored there too.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+from gnn_pretraining_tpu import config
+
+
+def _to_float(v):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return v
+
+
+class MetricLogger:
+    def __init__(self, project: str, run_name: str,
+                 out_dir: Optional[Path] = None, use_wandb: bool = True):
+        self.project = project
+        self.run_name = run_name
+        out_dir = Path(out_dir or config.METRICS_DIR) / project
+        out_dir.mkdir(parents=True, exist_ok=True)
+        self.path = out_dir / f"{run_name}.jsonl"
+        self._fh = open(self.path, "a", buffering=1)
+        self._summary: Dict[str, float] = {}
+        self._wandb = None
+        if use_wandb and os.environ.get("WANDB_MODE", "") not in ("disabled", "offline"):
+            try:
+                import wandb  # type: ignore
+
+                self._wandb = wandb
+                wandb.init(project=project, name=run_name)
+            except Exception:
+                self._wandb = None
+
+    def log(self, metrics: Dict[str, float], step: int) -> None:
+        row = {k: _to_float(v) for k, v in metrics.items()}
+        row["_step"] = int(step)
+        row["_time"] = time.time()
+        self._fh.write(json.dumps(row) + "\n")
+        self._summary.update({k: v for k, v in row.items()
+                              if not k.startswith("_")})
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=step)
+
+    def finish(self) -> None:
+        summary_path = self.path.with_suffix(".summary.json")
+        with open(summary_path, "w") as f:
+            json.dump(self._summary, f, indent=2)
+        self._fh.close()
+        if self._wandb is not None:
+            self._wandb.finish()

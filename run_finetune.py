@@ -1,0 +1,98 @@
+"""Fine-tuning sweep driver.
+
+CLI surface mirrors the reference's run_finetune.py (``--sweep`` |
+``--domain_sweep D`` | single run). The 324-cell grid
+(6 domains × 2 strategies × 9 schemes × 3 seeds) runs in-process with
+per-cell completion markers; ``--resume`` skips completed cells.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+import traceback
+from typing import List, Tuple
+
+from gnn_pretraining_tpu import config
+from gnn_pretraining_tpu.finetune.finetune import finetune
+
+
+def cell_completed(run_name: str) -> bool:
+    return (config.METRICS_DIR / config.FINETUNE_PROJECT_NAME
+            / f"{run_name}.summary.json").exists()
+
+
+def full_grid() -> List[Tuple[str, str, str, int]]:
+    return [(d, st, sc, seed)
+            for d in config.FINETUNE_DOMAINS
+            for st in config.FINETUNE_STRATEGIES
+            for sc in config.FINETUNE_SCHEMES
+            for seed in config.SEEDS]
+
+
+def run_grid(grid, args) -> None:
+    print(f"Fine-tuning sweep: {len(grid)} runs")
+    failed = []
+    for i, (domain, strategy, scheme, seed) in enumerate(grid):
+        cfg = config.FinetuneConfig(domain_name=domain,
+                                    finetune_strategy=strategy,
+                                    pretrained_scheme=scheme, seed=seed)
+        if args.resume and cell_completed(cfg.run_name):
+            print(f"[{i+1}/{len(grid)}] {cfg.run_name}: already complete, skipping")
+            continue
+        t0 = time.time()
+        try:
+            res = finetune(cfg, aggregation=args.aggregation,
+                           epochs=args.epochs, use_wandb=not args.no_wandb)
+            key = ("test/auc" if cfg.task_type == "link_prediction"
+                   else "test/accuracy")
+            print(f"[{i+1}/{len(grid)}] {cfg.run_name}: {key}="
+                  f"{res[key]:.4f} ({time.time()-t0:.0f}s)")
+        except Exception:
+            traceback.print_exc()
+            failed.append(cfg.run_name)
+            print(f"[{i+1}/{len(grid)}] {cfg.run_name}: FAILED")
+    if failed:
+        print(f"\n{len(failed)} failed runs: {failed}")
+    else:
+        print("\nAll runs completed.")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sweep", action="store_true")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--domain_sweep", type=str, default=None)
+    parser.add_argument("--domain_name", type=str, default=None)
+    parser.add_argument("--finetune_strategy", type=str, default=None)
+    parser.add_argument("--pretrained_scheme", type=str, default=None)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--aggregation", type=str, default="dense",
+                        choices=["dense", "pallas", "coo"])
+    parser.add_argument("--no_wandb", action="store_true")
+    args = parser.parse_args()
+
+    if args.sweep:
+        run_grid(full_grid(), args)
+    elif args.domain_sweep:
+        grid = [c for c in full_grid() if c[0] == args.domain_sweep]
+        run_grid(grid, args)
+    else:
+        if not all((args.domain_name, args.finetune_strategy,
+                    args.pretrained_scheme)) or args.seed is None:
+            parser.error("provide --sweep, --domain_sweep, or all of "
+                         "--domain_name --finetune_strategy "
+                         "--pretrained_scheme --seed")
+        cfg = config.FinetuneConfig(domain_name=args.domain_name,
+                                    finetune_strategy=args.finetune_strategy,
+                                    pretrained_scheme=args.pretrained_scheme,
+                                    seed=args.seed)
+        res = finetune(cfg, aggregation=args.aggregation, epochs=args.epochs,
+                       use_wandb=not args.no_wandb)
+        print({k: round(v, 4) if isinstance(v, float) else v
+               for k, v in res.items()})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Pretraining sweep driver.
+
+CLI surface mirrors the reference's run_pretrain.py (``--sweep`` | single
+``--exp_name --seed``). The reference fans out subprocesses across GPUs
+(ThreadPoolExecutor, run_pretrain.py:57); on a single TPU host the grid runs
+in-process and sequentially, with per-cell completion markers
+(``outputs/metrics/<project>/<run>.summary.json``) so an interrupted sweep is
+re-runnable (``--resume`` skips completed cells — SURVEY.md §5 failure
+recovery).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+import traceback
+
+from gnn_pretraining_tpu import config
+from gnn_pretraining_tpu.pretrain.pretrain import pretrain
+
+
+def cell_completed(run_name: str) -> bool:
+    return (config.METRICS_DIR / config.PRETRAIN_PROJECT_NAME
+            / f"{run_name}.summary.json").exists()
+
+
+def run_sweep(args) -> None:
+    grid = [(e, s) for e in config.ALL_SCHEMES for s in config.SEEDS]
+    print(f"Pretraining sweep: {len(grid)} runs")
+    failed = []
+    for i, (exp, seed) in enumerate(grid):
+        cfg = config.PretrainConfig(exp_name=exp, seed=seed)
+        if args.resume and cell_completed(cfg.run_name):
+            print(f"[{i+1}/{len(grid)}] {cfg.run_name}: already complete, skipping")
+            continue
+        t0 = time.time()
+        try:
+            res = pretrain(cfg, aggregation=args.aggregation,
+                           epochs=args.epochs, use_wandb=not args.no_wandb)
+            print(f"[{i+1}/{len(grid)}] {cfg.run_name}: "
+                  f"best_val={res['best_val_total']:.4f} "
+                  f"({time.time()-t0:.0f}s)")
+        except Exception:
+            traceback.print_exc()
+            failed.append(cfg.run_name)
+            print(f"[{i+1}/{len(grid)}] {cfg.run_name}: FAILED")
+    if failed:
+        print(f"\n{len(failed)} failed runs: {failed}")
+    else:
+        print("\nAll runs completed.")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sweep", action="store_true")
+    parser.add_argument("--resume", action="store_true",
+                        help="skip runs whose completion marker exists")
+    parser.add_argument("--exp_name", type=str, default=None)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--epochs", type=int, default=config.PRETRAIN_EPOCHS)
+    parser.add_argument("--aggregation", type=str, default="dense",
+                        choices=["dense", "pallas", "coo"])
+    parser.add_argument("--no_wandb", action="store_true")
+    args = parser.parse_args()
+
+    if args.sweep:
+        run_sweep(args)
+    else:
+        if args.exp_name is None or args.seed is None:
+            parser.error("provide --sweep or both --exp_name and --seed")
+        cfg = config.PretrainConfig(exp_name=args.exp_name, seed=args.seed)
+        res = pretrain(cfg, aggregation=args.aggregation, epochs=args.epochs,
+                       use_wandb=not args.no_wandb)
+        print(res)
+
+
+if __name__ == "__main__":
+    main()

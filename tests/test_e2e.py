@@ -1,0 +1,78 @@
+"""End-to-end smoke tests: preprocessing → pretraining → transfer → finetune.
+
+Runs the full pipeline on small seeded synthetic datasets (CPU), covering the
+BASELINE.json config ladder: b1 from-scratch, b2 pretrain, s3 multi-task with
+PCGrad, s5 with the domain adversary, and transfer into fine-tuning.
+"""
+
+import pathlib
+import tempfile
+
+import numpy as np
+import pytest
+
+from gnn_pretraining_tpu import config
+from gnn_pretraining_tpu.data import setup as data_setup
+from gnn_pretraining_tpu.finetune.finetune import finetune
+from gnn_pretraining_tpu.pretrain.pretrain import pretrain
+
+
+@pytest.fixture(scope="module")
+def processed_dir():
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    data_setup.main(processed_dir=tmp, raw_dir=tmp / "raw", synthetic_scale=0.06)
+    return tmp
+
+
+class TestPretrainE2E:
+    def test_b2_trains_and_improves(self, processed_dir):
+        cfg = config.PretrainConfig(exp_name="b2", seed=42)
+        res = pretrain(cfg, epochs=2, processed_dir=processed_dir,
+                       use_wandb=False)
+        assert np.isfinite(res["best_val_total"])
+        assert pathlib.Path(res["checkpoint"]).exists()
+
+    def test_s5_all_six_tasks(self, processed_dir):
+        cfg = config.PretrainConfig(exp_name="s5", seed=42)
+        res = pretrain(cfg, epochs=1, processed_dir=processed_dir,
+                       use_wandb=False)
+        assert np.isfinite(res["best_val_total"])
+
+
+class TestFinetuneE2E:
+    def test_b1_graph_classification(self, processed_dir):
+        cfg = config.FinetuneConfig(domain_name="PTC_MR",
+                                    finetune_strategy="full_finetune",
+                                    pretrained_scheme="b1", seed=42)
+        res = finetune(cfg, processed_dir=processed_dir, use_wandb=False,
+                       epochs=3)
+        assert 0.0 <= res["test/accuracy"] <= 1.0
+        assert res["test/trainable_parameters"] == res["test/total_parameters"]
+
+    def test_b1_node_classification_linear_probe(self, processed_dir):
+        cfg = config.FinetuneConfig(domain_name="Cora_NC",
+                                    finetune_strategy="linear_probe",
+                                    pretrained_scheme="b1", seed=42)
+        res = finetune(cfg, processed_dir=processed_dir, use_wandb=False,
+                       epochs=3)
+        # linear probe freezes the backbone
+        assert res["test/trainable_parameters"] < res["test/total_parameters"]
+
+    def test_b1_link_prediction(self, processed_dir):
+        cfg = config.FinetuneConfig(domain_name="CiteSeer_LP",
+                                    finetune_strategy="full_finetune",
+                                    pretrained_scheme="b1", seed=42)
+        res = finetune(cfg, processed_dir=processed_dir, use_wandb=False,
+                       epochs=2)
+        assert 0.0 <= res["test/auc"] <= 1.0
+
+    def test_transfer_from_b2(self, processed_dir):
+        pre_cfg = config.PretrainConfig(exp_name="b2", seed=84)
+        pretrain(pre_cfg, epochs=1, processed_dir=processed_dir,
+                 use_wandb=False)
+        cfg = config.FinetuneConfig(domain_name="ENZYMES",
+                                    finetune_strategy="linear_probe",
+                                    pretrained_scheme="b2", seed=84)
+        res = finetune(cfg, processed_dir=processed_dir, use_wandb=False,
+                       epochs=2)
+        assert 0.0 <= res["test/accuracy"] <= 1.0
