@@ -28,10 +28,11 @@ H = config.GNN_HIDDEN_DIM
 class FinetuneGNN(nn.Module):
     domain_name: str
     aggregation: str = "dense"
+    axis_name: Optional[str] = None
 
     def setup(self):
-        self.input_encoder = InputEncoder()
-        self.gnn_backbone = GINBackbone(self.aggregation)
+        self.input_encoder = InputEncoder(axis_name=self.axis_name)
+        self.gnn_backbone = GINBackbone(self.aggregation, self.axis_name)
         task_type = config.TASK_TYPES[self.domain_name]
         c = config.NUM_CLASSES[self.domain_name]
         if task_type == "graph_classification":

@@ -57,12 +57,14 @@ class TorchLinear(nn.Module):
 class InputEncoder(nn.Module):
     """Per-domain projector (reference: src/models/gnn.py:11-23)."""
 
+    axis_name: Optional[str] = None
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, node_mask: Optional[jnp.ndarray],
                  train: bool) -> jnp.ndarray:
         h = TorchLinear(config.GNN_HIDDEN_DIM, name="linear")(x)
-        h = MaskedBatchNorm(config.GNN_HIDDEN_DIM, name="batch_norm")(
-            h, node_mask, train)
+        h = MaskedBatchNorm(config.GNN_HIDDEN_DIM, name="batch_norm",
+                            axis_name=self.axis_name)(h, node_mask, train)
         h = nn.relu(h)
         h = nn.Dropout(config.DROPOUT_RATE, deterministic=not train)(h)
         return h
@@ -81,6 +83,7 @@ class GINLayer(nn.Module):
     """GINConv + residual + BN + ReLU + Dropout (reference: gnn.py:26-43)."""
 
     aggregation: str = "dense"   # "dense" | "pallas" | "coo"
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, node_mask, train: bool, *,
@@ -92,14 +95,14 @@ class GINLayer(nn.Module):
                        self.aggregation)
         # The GIN MLP: 256 → 512 (+BN+ReLU) → 256.
         z = TorchLinear(2 * config.GNN_HIDDEN_DIM, name="mlp_0")(z)
-        z = MaskedBatchNorm(2 * config.GNN_HIDDEN_DIM, name="mlp_bn")(
-            z, node_mask, train)
+        z = MaskedBatchNorm(2 * config.GNN_HIDDEN_DIM, name="mlp_bn",
+                            axis_name=self.axis_name)(z, node_mask, train)
         z = nn.relu(z)
         z = TorchLinear(config.GNN_HIDDEN_DIM, name="mlp_1")(z)
 
         z = z + h  # residual
-        z = MaskedBatchNorm(config.GNN_HIDDEN_DIM, name="batch_norm")(
-            z, node_mask, train)
+        z = MaskedBatchNorm(config.GNN_HIDDEN_DIM, name="batch_norm",
+                            axis_name=self.axis_name)(z, node_mask, train)
         z = nn.relu(z)
         z = nn.Dropout(config.DROPOUT_RATE, deterministic=not train)(z)
         return z
@@ -109,13 +112,14 @@ class GINBackbone(nn.Module):
     """5 stacked GINLayers (reference: gnn.py:46-54)."""
 
     aggregation: str = "dense"
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, node_mask, train: bool, *,
                  adj=None, senders=None, receivers=None, edge_mask=None
                  ) -> jnp.ndarray:
         for i in range(config.GNN_NUM_LAYERS):
-            h = GINLayer(self.aggregation, name=f"layers_{i}")(
+            h = GINLayer(self.aggregation, self.axis_name, name=f"layers_{i}")(
                 h, node_mask, train, adj=adj, senders=senders,
                 receivers=receivers, edge_mask=edge_mask)
         return h

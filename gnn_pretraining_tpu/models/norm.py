@@ -12,6 +12,7 @@ exactly (same rows, same sums). Semantics replicated:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -19,9 +20,14 @@ from gnn_pretraining_tpu import config
 
 
 class MaskedBatchNorm(nn.Module):
+    """``axis_name`` turns on SyncBN: statistics are reduced over that mesh
+    axis with ``psum``, so a data-parallel step normalizes with exactly the
+    global-batch statistics a single device would compute."""
+
     features: int
     momentum: float = config.BN_MOMENTUM
     eps: float = config.BN_EPS
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None,
@@ -36,13 +42,20 @@ class MaskedBatchNorm(nn.Module):
         if train:
             if mask is not None:
                 m = mask.astype(x.dtype)[:, None]
-                n = jnp.maximum(jnp.sum(m), 1.0)
-                mean = jnp.sum(x * m, axis=0) / n
-                var = jnp.sum((x - mean) ** 2 * m, axis=0) / n
+                n = jnp.sum(m)
+                sum_x = jnp.sum(x * m, axis=0)
+                sum_x2 = jnp.sum(x * x * m, axis=0)
             else:
                 n = jnp.asarray(x.shape[0], x.dtype)
-                mean = jnp.mean(x, axis=0)
-                var = jnp.var(x, axis=0)
+                sum_x = jnp.sum(x, axis=0)
+                sum_x2 = jnp.sum(x * x, axis=0)
+            if self.axis_name is not None:
+                n = jax.lax.psum(n, self.axis_name)
+                sum_x = jax.lax.psum(sum_x, self.axis_name)
+                sum_x2 = jax.lax.psum(sum_x2, self.axis_name)
+            n = jnp.maximum(n, 1.0)
+            mean = sum_x / n
+            var = jnp.maximum(sum_x2 / n - mean * mean, 0.0)
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
                 ra_mean.value = ((1 - self.momentum) * ra_mean.value

@@ -38,14 +38,16 @@ class PretrainableGNN(nn.Module):
     domain_names: Tuple[str, ...]
     task_names: Tuple[str, ...]
     aggregation: str = "dense"
+    axis_name: Optional[str] = None
 
     def setup(self):
-        self.input_encoders = {d: InputEncoder() for d in self.domain_names}
+        self.input_encoders = {d: InputEncoder(axis_name=self.axis_name)
+                               for d in self.domain_names}
         self.mask_token = self.param(
             "mask_token",
             lambda k, s: config.MASK_TOKEN_INIT_STD * jax.random.normal(k, s),
             (H,))
-        self.gnn_backbone = GINBackbone(self.aggregation)
+        self.gnn_backbone = GINBackbone(self.aggregation, self.axis_name)
 
         if "node_feat_mask" in self.task_names:
             self.heads_node_feat_mask = {

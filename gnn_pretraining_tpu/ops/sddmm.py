@@ -8,6 +8,7 @@ the loss fuses masking, diagonal suppression and softmax cross-entropy.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from gnn_pretraining_tpu.ops.segment import segment_softmax_ce
@@ -30,7 +31,8 @@ def cosine_similarity_matrix(a: jnp.ndarray, b: jnp.ndarray | None = None) -> jn
 
 
 def nt_xent_loss(z1: jnp.ndarray, z2: jnp.ndarray, temperature: jnp.ndarray,
-                 valid: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+                 valid: jnp.ndarray,
+                 axis_name: str | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """SimCLR NT-Xent over padded pair batches; returns (sum_loss, num_rows).
 
     Matches the reference semantics exactly on the valid rows
@@ -38,7 +40,15 @@ def nt_xent_loss(z1: jnp.ndarray, z2: jnp.ndarray, temperature: jnp.ndarray,
     dot / τ with the diagonal masked out, positives at offset N, cross-entropy
     with sum reduction over the 2N valid rows. ``valid`` is the shared row
     validity of z1/z2 (pairs occupy the same slots in both views).
+
+    With ``axis_name`` (data-parallel shard_map), rows are ``all_gather``ed
+    over that mesh axis first, so every device computes the loss over the
+    *global* pair set — negatives span the whole batch exactly as on one chip.
     """
+    if axis_name is not None:
+        z1 = jax.lax.all_gather(z1, axis_name, tiled=True)
+        z2 = jax.lax.all_gather(z2, axis_name, tiled=True)
+        valid = jax.lax.all_gather(valid, axis_name, tiled=True)
     n = z1.shape[0]
     z = jnp.concatenate([l2_normalize(z1), l2_normalize(z2)], axis=0)
     vv = jnp.concatenate([valid, valid], axis=0).astype(bool)

@@ -25,7 +25,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from gnn_pretraining_tpu.data.batch import round_up
 
@@ -59,8 +59,7 @@ def edge_partitioned_aggregate(mesh: Mesh, h: jnp.ndarray, senders: jnp.ndarray,
     fn = shard_map(
         local_agg, mesh=mesh,
         in_specs=(P(), P("edge"), P("edge"), P("edge"), P()),
-        out_specs=P(),
-        check_rep=False)
+        out_specs=P(), check_vma=False)
     return fn(h, senders, receivers, edge_mask, jnp.asarray(eps, jnp.float32))
 
 

@@ -48,6 +48,14 @@ class TaskContext(NamedTuple):
     temperature: jnp.ndarray
     grl_lambda: jnp.ndarray
     train: bool
+    # Mesh axis for data-parallel execution inside shard_map: additive task
+    # sums are psum'd over it and contrastive rows are all_gather'd, so the
+    # step computes exactly the single-device global loss.
+    axis_name: str | None = None
+
+
+def _preduce(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
 
 def _apply_forward(model: PretrainableGNN, params, stats, x, node_mask, domain,
@@ -132,8 +140,8 @@ def node_feat_mask_loss(model, params, stats, domain_batches, key, ctx):
         rec = _head(model, params, PretrainableGNN.nfm_head,
                     (h_final, domain, ctx.train), k_head, ctx.train)
         sq = jnp.sum((rec - h0) ** 2, axis=1) * mask_f
-        loss_sum = jnp.sum(sq)
-        size = jnp.sum(mask_f) * H
+        loss_sum = _preduce(jnp.sum(sq), ctx.axis_name)
+        size = _preduce(jnp.sum(mask_f), ctx.axis_name) * H
         total_loss += loss_sum
         total_size += size
         per_domain[domain] = _safe_div(loss_sum, size)
@@ -184,8 +192,8 @@ def link_pred_loss(model, params, stats, domain_batches, key, ctx):
         log_p = jnp.maximum(jnp.log(probs), _LOG_CLAMP)
         log_1mp = jnp.maximum(jnp.log1p(-probs), _LOG_CLAMP)
         bce = -(labels * log_p + (1.0 - labels) * log_1mp) * mask
-        loss_sum = jnp.sum(bce)
-        size = jnp.sum(mask)
+        loss_sum = _preduce(jnp.sum(bce), ctx.axis_name)
+        size = _preduce(jnp.sum(mask), ctx.axis_name)
         total_loss += loss_sum
         total_size += size
         per_domain[domain] = _safe_div(loss_sum, size)
@@ -215,9 +223,10 @@ def node_contrast_loss(model, params, stats, domain_batches, key, ctx):
         z2 = _head(model, params, PretrainableGNN.node_contrast_head,
                    (h2, domain, ctx.train), k_h2, ctx.train)
 
-        loss_sum, rows = nt_xent_loss(z1, z2, ctx.temperature, common)
+        loss_sum, rows = nt_xent_loss(z1, z2, ctx.temperature, common,
+                                      axis_name=ctx.axis_name)
         # skip domain when fewer than 2 common nodes (:173-175)
-        valid = (jnp.sum(common) >= 2).astype(jnp.float32)
+        valid = (_preduce(jnp.sum(common), ctx.axis_name) >= 2).astype(jnp.float32)
         loss_sum = loss_sum * valid
         rows = rows * valid
         total_loss += loss_sum
@@ -250,9 +259,11 @@ def graph_contrast_loss(model, params, stats, domain_batches, key, ctx):
         z2 = _head(model, params, PretrainableGNN.graph_contrast_head,
                    (s2, domain, ctx.train), k_h2, ctx.train)
 
-        loss_sum, rows = nt_xent_loss(z1, z2, ctx.temperature, batch.graph_mask)
+        loss_sum, rows = nt_xent_loss(z1, z2, ctx.temperature, batch.graph_mask,
+                                      axis_name=ctx.axis_name)
         # skip domain with fewer than 2 graphs (:231-234)
-        valid = (jnp.sum(batch.graph_mask) >= 2).astype(jnp.float32)
+        valid = (_preduce(jnp.sum(batch.graph_mask), ctx.axis_name)
+                 >= 2).astype(jnp.float32)
         loss_sum = loss_sum * valid
         rows = rows * valid
         total_loss += loss_sum
@@ -278,8 +289,8 @@ def graph_prop_loss(model, params, stats, domain_batches, key, ctx):
         preds = _head(model, params, PretrainableGNN.graph_prop_head,
                       (graph_emb, domain, ctx.train), k_head, ctx.train)
         sq = jnp.sum((preds - batch.graph_properties) ** 2, axis=1) * batch.graph_mask
-        loss_sum = jnp.sum(sq)
-        size = jnp.sum(batch.graph_mask) * GRAPH_PROPERTY_DIM
+        loss_sum = _preduce(jnp.sum(sq), ctx.axis_name)
+        size = _preduce(jnp.sum(batch.graph_mask), ctx.axis_name) * GRAPH_PROPERTY_DIM
         total_loss += loss_sum
         total_size += size
         per_domain[domain] = _safe_div(loss_sum, size)
@@ -306,7 +317,8 @@ def domain_adv_loss(model, params, stats, domain_batches, key, ctx):
                        (graph_emb, ctx.grl_lambda, ctx.train), k_head, ctx.train)
         labels = jnp.full((g,), idx, jnp.int32)
         loss_sum, _ = segment_softmax_ce(logits, labels, row_mask=batch.graph_mask)
-        size = jnp.sum(batch.graph_mask)
+        loss_sum = _preduce(loss_sum, ctx.axis_name)
+        size = _preduce(jnp.sum(batch.graph_mask), ctx.axis_name)
         total_loss += loss_sum
         total_size += size
         per_domain[domain] = _safe_div(loss_sum, size)

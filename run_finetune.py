@@ -14,6 +14,7 @@ import traceback
 from typing import List, Tuple
 
 from gnn_pretraining_tpu import config
+from gnn_pretraining_tpu.utils.runtime import maybe_init_distributed, setup_jax
 from gnn_pretraining_tpu.finetune.finetune import finetune
 
 
@@ -59,6 +60,8 @@ def run_grid(grid, args) -> None:
 
 
 def main() -> None:
+    maybe_init_distributed()
+    setup_jax()
     parser = argparse.ArgumentParser()
     parser.add_argument("--sweep", action="store_true")
     parser.add_argument("--resume", action="store_true")

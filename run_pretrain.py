@@ -16,6 +16,7 @@ import time
 import traceback
 
 from gnn_pretraining_tpu import config
+from gnn_pretraining_tpu.utils.runtime import maybe_init_distributed, setup_jax
 from gnn_pretraining_tpu.pretrain.pretrain import pretrain
 
 
@@ -51,6 +52,8 @@ def run_sweep(args) -> None:
 
 
 def main() -> None:
+    maybe_init_distributed()
+    setup_jax()
     parser = argparse.ArgumentParser()
     parser.add_argument("--sweep", action="store_true")
     parser.add_argument("--resume", action="store_true",
