@@ -3,35 +3,25 @@
 Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
 
 The reference publishes no kernel numbers (BASELINE.md: ``published = {}``);
-``vs_baseline`` therefore reports the Pallas MXU kernel against the in-repo
-XLA ``segment_sum`` COO path (the reference-semantics implementation a naive
-port would use) measured on the same chip in the same process.
+``vs_baseline`` therefore reports the Pallas MXU kernel (default ``split``
+precision mode, bf16-stored adjacency — ~4e-5 relative error) against the
+in-repo XLA ``segment_sum`` COO path (the reference-semantics implementation
+a naive port would use), same chip, same process.
 
-Method: ``value_and_grad`` of a scalar readout of ``A@H + (1+eps)H`` — one
-fwd + one bwd per iteration — iterated inside a single jitted ``fori_loop``
-so tunnel/dispatch latency is excluded; edges/s = E_real · iters / wall.
+Method: one fwd + one bwd per iteration through the kernel's custom VJP,
+iterated inside a jitted ``fori_loop``; timing uses the slope between two
+iteration counts so fixed per-call costs (relay RPC, host transfers) cancel
+(utils/profiling.slope_time). edges/s = E_real / marginal-iteration-time.
 """
 
 from __future__ import annotations
 
 import json
-import time
+from functools import partial
 
 import numpy as np
 
 CORA_N, CORA_E, F = 2708, 10556, 256
-ITERS = 100
-
-
-def _timed(fn, *args) -> float:
-    import jax
-
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile + warmup
-    t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / ITERS
 
 
 def main() -> None:
@@ -43,6 +33,7 @@ def main() -> None:
         gin_aggregate_coo,
         spmm_pallas,
     )
+    from gnn_pretraining_tpu.utils.profiling import slope_time
     from gnn_pretraining_tpu.utils.runtime import setup_jax
 
     setup_jax()
@@ -52,24 +43,33 @@ def main() -> None:
     edge_mask = jnp.ones(CORA_E, jnp.float32)
     h = jnp.asarray(rng.normal(size=(CORA_N, F)), jnp.float32)
     eps = jnp.float32(0.1)
-    adj = build_dense_adjacency(senders, receivers, edge_mask, CORA_N)
+    adj_bf = build_dense_adjacency(senders, receivers, edge_mask, CORA_N,
+                                   dtype=jnp.bfloat16)
 
-    def loop(grad_fn):
-        @jax.jit
-        def run(x):
-            def body(i, acc):
-                g = grad_fn(acc)
-                return acc + 0.0 * g  # keep the chain alive without drift
-            return jax.lax.fori_loop(0, ITERS, body, x)
+    @partial(jax.jit, static_argnames=("iters",))
+    def run_pallas(a, x, iters):
+        grad = jax.grad(lambda xx: jnp.sum(spmm_pallas(a, xx, eps, "split") ** 2))
 
-        return run
+        def body(i, acc):
+            g = grad(acc)
+            return g / (1e-6 + jnp.max(jnp.abs(g)))
 
-    pallas_grad = jax.grad(lambda x: jnp.sum(spmm_pallas(adj, x, eps) ** 2))
-    coo_grad = jax.grad(lambda x: jnp.sum(
-        gin_aggregate_coo(x, senders, receivers, edge_mask, eps) ** 2))
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, x))
 
-    t_pallas = _timed(loop(pallas_grad), h)
-    t_coo = _timed(loop(coo_grad), h)
+    @partial(jax.jit, static_argnames=("iters",))
+    def run_coo(s, r, m, x, iters):
+        grad = jax.grad(lambda xx: jnp.sum(
+            gin_aggregate_coo(xx, s, r, m, eps) ** 2))
+
+        def body(i, acc):
+            g = grad(acc)
+            return g / (1e-6 + jnp.max(jnp.abs(g)))
+
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, x))
+
+    t_pallas = slope_time(lambda it: (lambda: run_pallas(adj_bf, h, iters=it)))
+    t_coo = slope_time(lambda it: (lambda: run_coo(senders, receivers,
+                                                   edge_mask, h, iters=it)))
 
     edges_per_s = CORA_E / t_pallas
     vs_baseline = t_coo / t_pallas  # >1 ⇒ Pallas beats the XLA COO path

@@ -144,14 +144,48 @@ class GraphStore:
         )
 
 
+try:  # native fused builder (native/batcher.cc); numpy fallback below
+    import _gnn_batcher as _native_batcher
+except ImportError:
+    _native_batcher = None
+
+
 def build_batch(store: GraphStore, graph_indices: Sequence[int],
                 n_pad: int, e_pad: int, g_pad: int,
                 with_properties: bool = False) -> GraphBatch:
-    """Concatenate the selected graphs into one padded GraphBatch (host/numpy).
+    """Concatenate the selected graphs into one padded GraphBatch (host/numpy
+    or the native C++ builder when built — same output, parity-tested).
 
     Equivalent of ``Batch.from_data_list`` with local->global edge relabeling
     (reference: src/data/pretrain_data_loaders.py:41), plus zero padding.
     """
+    if _native_batcher is not None:
+        idx = np.ascontiguousarray(np.asarray(graph_indices, np.int64))
+        props = store.graph_properties if (
+            with_properties and store.graph_properties is not None) else None
+        out = _native_batcher.build_batch(
+            store.node_features, np.ascontiguousarray(store.edge_index, np.int64),
+            store.node_offsets.astype(np.int64),
+            store.edge_offsets.astype(np.int64),
+            np.ascontiguousarray(store.y, np.int64),
+            props, idx, int(n_pad), int(e_pad), int(g_pad),
+            bool(with_properties and props is not None))
+        (x, senders, receivers, edge_mask, edge_graph, node_mask, node_graph,
+         graph_mask, node_start, n_node, n_edge, y, gprops) = out
+        return GraphBatch(x=x, senders=senders, receivers=receivers,
+                          edge_mask=edge_mask, edge_graph=edge_graph,
+                          node_mask=node_mask, node_graph=node_graph,
+                          graph_mask=graph_mask, node_start=node_start,
+                          n_node=n_node, n_edge=n_edge, y=y,
+                          graph_properties=gprops)
+    return _build_batch_numpy(store, graph_indices, n_pad, e_pad, g_pad,
+                              with_properties)
+
+
+def _build_batch_numpy(store: GraphStore, graph_indices: Sequence[int],
+                       n_pad: int, e_pad: int, g_pad: int,
+                       with_properties: bool = False) -> GraphBatch:
+    """Pure-numpy reference implementation of ``build_batch``."""
     g = len(graph_indices)
     if g > g_pad:
         raise ValueError(f"{g} graphs > g_pad={g_pad}")

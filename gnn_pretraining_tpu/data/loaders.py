@@ -54,14 +54,22 @@ class BalancedMultiDomainSampler:
         self.num_steps = max(
             1, max(len(ix) for ix in self.train_indices.values())
             // self.samples_per_domain)
-        # Worst-case pads: samples_per_domain × the largest graph in the split.
+        # Quantile-based pads instead of the worst case (spd × max graph):
+        # one giant outlier graph would otherwise inflate every batch's dense
+        # adjacency by orders of magnitude. Budget = largest graph + q95 for
+        # the remaining slots; the rare over-budget draw is resampled
+        # (sample_step), which leaves the with-replacement distribution intact
+        # up to a vanishing conditioning.
         self.pads = {}
         for d, s in domain_stores.items():
             ix = self.train_indices[d]
-            max_n = int(np.diff(s.node_offsets)[ix].max())
-            max_e = int(np.diff(s.edge_offsets)[ix].max())
-            self.pads[d] = (round_up(self.samples_per_domain * max_n),
-                            round_up(max(self.samples_per_domain * max_e, 1)))
+            nn = np.diff(s.node_offsets)[ix]
+            ne = np.diff(s.edge_offsets)[ix]
+            spd = self.samples_per_domain
+            n_pad = int(nn.max()) + int(np.ceil(np.quantile(nn, 0.95))) * (spd - 1)
+            e_pad = int(ne.max()) + int(np.ceil(np.quantile(ne, 0.95))) * (spd - 1)
+            self.pads[d] = (round_up(min(n_pad, int(nn.max()) * spd)),
+                            round_up(max(min(e_pad, int(ne.max()) * spd), 1)))
 
     def __len__(self) -> int:
         return self.num_steps
@@ -74,8 +82,14 @@ class BalancedMultiDomainSampler:
         out = {}
         for d, store in self.domain_stores.items():
             ix = self.train_indices[d]
-            chosen = ix[self.rng.integers(0, len(ix), self.samples_per_domain)]
             n_pad, e_pad = self.pads[d]
+            nn = np.diff(store.node_offsets)
+            ne = np.diff(store.edge_offsets)
+            for _ in range(100):  # resample the rare over-budget draw
+                chosen = ix[self.rng.integers(0, len(ix),
+                                              self.samples_per_domain)]
+                if nn[chosen].sum() <= n_pad and ne[chosen].sum() <= e_pad:
+                    break
             out[d] = build_batch(store, chosen, n_pad, e_pad,
                                  self.samples_per_domain, with_properties=True)
         return out

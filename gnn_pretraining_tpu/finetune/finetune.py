@@ -122,10 +122,13 @@ def make_gc_steps(model, cfg, optimizer, labels):
     c = config.NUM_CLASSES[cfg.domain_name]
     binary = c == 2
 
+    adj_dtype = jnp.bfloat16 if model.aggregation == "pallas" else jnp.float32
+
     def forward(params, stats, batch, train, rng):
         variables = {"params": params, "batch_stats": stats}
         adj = build_dense_adjacency(batch.senders, batch.receivers,
-                                    batch.edge_mask, batch.num_nodes)
+                                    batch.edge_mask, batch.num_nodes,
+                                    dtype=adj_dtype)
         kwargs = dict(adj=adj, senders=batch.senders, receivers=batch.receivers,
                       edge_mask=batch.edge_mask, node_graph=batch.node_graph,
                       num_graphs=batch.num_graphs)
@@ -387,9 +390,11 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
                 yield ("gc", b)
     elif cfg.task_type == "node_classification":
         g = data["train"].graph
+        adj_dtype = jnp.bfloat16 if aggregation == "pallas" else jnp.float32
         adj = build_dense_adjacency(jnp.asarray(g.senders),
                                     jnp.asarray(g.receivers),
-                                    jnp.asarray(g.edge_mask), g.num_nodes)
+                                    jnp.asarray(g.edge_mask), g.num_nodes,
+                                    dtype=adj_dtype)
         train_step, eval_step = make_nc_steps(model, cfg, optimizer, labels,
                                               g, adj)
 
@@ -405,10 +410,11 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
     else:
         g = data["train"].graph
         train_edges = data["train"].train_edges
+        adj_dtype = jnp.bfloat16 if aggregation == "pallas" else jnp.float32
         adj_train = build_dense_adjacency(jnp.asarray(g.senders),
                                           jnp.asarray(g.receivers),
                                           jnp.asarray(g.edge_mask),
-                                          g.num_nodes)
+                                          g.num_nodes, dtype=adj_dtype)
         forbidden = build_forbidden_mask(g.num_nodes, train_edges)
         n_cand = candidate_count(g.num_nodes, train_edges)
         num_hard = hard_count(n_cand, cfg.batch_size)
@@ -433,15 +439,18 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
         for kind, payload in eval_batches(split):
             if kind == "gc":
                 b = payload
-                loss, y, preds, probs = eval_step(state, b)
+                out = eval_step(state, b)
+                loss, y, preds, probs = jax.device_get(out)
                 valid = np.asarray(b.graph_mask) > 0
             elif kind == "nc":
                 ix, y_in = payload
-                loss, y, preds, probs = eval_step(state, ix, y_in)
+                out = eval_step(state, ix, y_in)
+                loss, y, preds, probs = jax.device_get(out)
                 valid = np.ones(len(np.asarray(y)), bool)
             else:
                 e, y_in, m = payload
-                loss, y, preds, probs = eval_step(state, e, y_in, m)
+                out = eval_step(state, e, y_in, m)
+                loss, y, preds, probs = jax.device_get(out)
                 valid = np.asarray(m) > 0
             bm = M.compute_batch_metrics(
                 cfg.domain_name, np.asarray(y)[valid],
@@ -463,17 +472,18 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
             key, sub = jax.random.split(key)
             if kind == "gc":
                 b = payload
-                state, loss, y, preds, probs, gnorm = train_step(state, b, sub)
+                state, *rest = train_step(state, b, sub)
+                loss, y, preds, probs, gnorm = jax.device_get(rest)
                 valid = np.asarray(b.graph_mask) > 0
             elif kind == "nc":
                 ix, y_in = payload
-                state, loss, y, preds, probs, gnorm = train_step(state, ix,
-                                                                 y_in, sub)
+                state, *rest = train_step(state, ix, y_in, sub)
+                loss, y, preds, probs, gnorm = jax.device_get(rest)
                 valid = np.ones(len(np.asarray(y)), bool)
             else:
                 e, m = payload
-                state, loss, y, preds, probs, mask, gnorm = train_step(
-                    state, e, m, sub)
+                state, *rest = train_step(state, e, m, sub)
+                loss, y, preds, probs, mask, gnorm = jax.device_get(rest)
                 valid = np.asarray(mask) > 0
             tm = M.compute_training_metrics(
                 epoch, global_step, float(loss), lrs, cfg.domain_name,
@@ -515,7 +525,7 @@ def main() -> None:
     parser.add_argument("--pretrained_scheme", type=str, required=True)
     parser.add_argument("--seed", type=int, required=True)
     parser.add_argument("--epochs", type=int, default=None)
-    parser.add_argument("--aggregation", type=str, default="dense",
+    parser.add_argument("--aggregation", type=str, default="pallas",
                         choices=["dense", "pallas", "coo"])
     parser.add_argument("--no_wandb", action="store_true")
     args = parser.parse_args()

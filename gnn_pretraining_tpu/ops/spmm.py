@@ -26,7 +26,6 @@ forward in the step.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -35,15 +34,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def build_dense_adjacency(senders: jnp.ndarray, receivers: jnp.ndarray,
-                          edge_mask: jnp.ndarray, num_nodes: int) -> jnp.ndarray:
+                          edge_mask: jnp.ndarray, num_nodes: int,
+                          dtype=jnp.float32) -> jnp.ndarray:
     """Dense [N, N] adjacency with A[dst, src] = multiplicity of edge src->dst.
 
     Message flow matches PyG's source_to_target: the aggregation at node ``i``
     sums features of senders ``j`` over edges ``j -> i``, i.e. ``(A @ h)[i]``.
-    Masked (padding) edges contribute 0.
+    Masked (padding) edges contribute 0. ``dtype=bfloat16`` is exact (entries
+    are small edge multiplicities) and halves the kernel's HBM traffic —
+    build it once per batch and reuse across layers/forwards.
     """
     a = jnp.zeros((num_nodes, num_nodes), dtype=jnp.float32)
-    return a.at[receivers, senders].add(edge_mask.astype(jnp.float32))
+    a = a.at[receivers, senders].add(edge_mask.astype(jnp.float32))
+    return a.astype(dtype)
 
 
 def gin_aggregate_coo(h: jnp.ndarray, senders: jnp.ndarray, receivers: jnp.ndarray,
@@ -55,8 +58,9 @@ def gin_aggregate_coo(h: jnp.ndarray, senders: jnp.ndarray, receivers: jnp.ndarr
 
 
 def gin_aggregate_dense(h: jnp.ndarray, adj: jnp.ndarray, eps: jnp.ndarray) -> jnp.ndarray:
-    """MXU path: ``A @ h + (1+eps) h`` with XLA's matmul."""
-    return jnp.dot(adj, h, preferred_element_type=jnp.float32,
+    """MXU path: ``A @ h + (1+eps) h`` with XLA's matmul (f32, parity)."""
+    return jnp.dot(adj.astype(jnp.float32), h,
+                   preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST) + (1.0 + eps) * h
 
 
@@ -68,13 +72,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _spmm_kernel(eps_ref, a_ref, h_ref, hd_ref, out_ref, acc_ref):
+def _spmm_kernel(eps_ref, a_ref, h_ref, hd_ref, out_ref, acc_ref, *,
+                 mode: str, transpose_a: bool):
     """One (i, j, k) grid step of ``out = A @ H + (1+eps) H``.
 
     Grid is (M/bm, F/bn, N/bk) with k innermost; ``acc_ref`` is a VMEM f32
     accumulator carried across the k loop. ``hd_ref`` is the diagonal block of
     H (rows aligned with the out-rows of this i tile) used for the
     ``(1+eps) H`` epilogue.
+
+    Precision modes (the adjacency is exact in bf16 — its entries are small
+    edge multiplicities — so only H decides accuracy):
+      * ``highest`` — f32 MXU passes (~1e-6, parity/testing);
+      * ``split``   — H = hi + lo in bf16, two bf16 passes (~4e-5, default
+        training mode, ~2.4× faster than highest);
+      * ``bf16``    — one bf16 pass (~1e-2, throughput mode).
+
+    ``transpose_a`` contracts over A's rows (``Aᵀ @ H``) for the backward
+    pass without materializing a transposed adjacency.
     """
     k = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -83,27 +98,50 @@ def _spmm_kernel(eps_ref, a_ref, h_ref, hd_ref, out_ref, acc_ref):
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # precision=HIGHEST keeps f32 inputs at full precision on the MXU (the
-    # default truncates to one bf16 pass — ~1e-2 error, too loose for parity).
-    acc_ref[:] += jnp.dot(a_ref[:], h_ref[:], preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+    dims = (((0,), (0,)), ((), ())) if transpose_a else (((1,), (0,)), ((), ()))
+
+    def mm(a, h):
+        return jax.lax.dot_general(a, h, dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32)
+
+    h = h_ref[:]
+    if mode == "highest":
+        a = a_ref[:].astype(jnp.float32)
+        acc_ref[:] += jax.lax.dot_general(
+            a, h.astype(jnp.float32), dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    elif mode == "split":
+        a = a_ref[:].astype(jnp.bfloat16)
+        hi = h.astype(jnp.bfloat16)
+        lo = (h - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc_ref[:] += mm(a, hi) + mm(a, lo)
+    else:  # bf16
+        a = a_ref[:].astype(jnp.bfloat16)
+        acc_ref[:] += mm(a, h.astype(jnp.bfloat16))
 
     @pl.when(k == nk - 1)
     def _epilogue():
-        out_ref[:] = acc_ref[:] + (1.0 + eps_ref[0]) * hd_ref[:]
+        out_ref[:] = acc_ref[:] + (1.0 + eps_ref[0]) * hd_ref[:].astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk"))
+@functools.partial(jax.jit,
+                   static_argnames=("bm", "bn", "bk", "mode", "transpose_a"))
 def _spmm_fwd_impl(adj: jnp.ndarray, h: jnp.ndarray, eps: jnp.ndarray,
-                   bm: int = 256, bn: int = 256, bk: int = 512) -> jnp.ndarray:
+                   bm: int = 256, bn: int = 256, bk: int = 512,
+                   mode: str = "split",
+                   transpose_a: bool = False) -> jnp.ndarray:
     n0, f0 = h.shape
-    bm = min(bm, _round_up(n0, 8))
-    bk = min(bk, _round_up(n0, 128))
+    # Every block dim must be a multiple of 128 (Mosaic requires the last two
+    # block dims divisible by (8, 128); bm is the LAST dim of the transposed
+    # A block), and bk a multiple of bm so the pad never exceeds one bk.
+    bm = min(bm, _round_up(n0, 128))
+    bk = _round_up(min(bk, _round_up(n0, 128)), bm)
     bn = min(bn, _round_up(f0, 128))
 
     # Zero-pad to tile multiples: exact for A@H + (1+eps)H, and keeps every
     # MXU tile fully populated.
-    n = _round_up(n0, math.lcm(bm, bk))
+    n = _round_up(n0, bk)
     f = _round_up(f0, bn)
     if (n, f) != (n0, f0):
         adj = jnp.pad(adj, ((0, n - n0), (0, n - n0)))
@@ -112,17 +150,26 @@ def _spmm_fwd_impl(adj: jnp.ndarray, h: jnp.ndarray, eps: jnp.ndarray,
     grid = (pl.cdiv(n, bm), pl.cdiv(f, bn), pl.cdiv(n, bk))
     eps_arr = jnp.asarray(eps, jnp.float32).reshape((1,))
 
-    flops = 2 * n * n * f + 2 * n * f
-    bytes_accessed = 4 * (n * n + 2 * n * f)
+    passes = {"highest": 6, "split": 2, "bf16": 1}[mode]
+    flops = passes * n * n * f + 2 * n * f
+    bytes_accessed = adj.dtype.itemsize * n * n + 4 * 2 * n * f
 
+    if transpose_a:
+        a_spec = pl.BlockSpec((bk, bm), lambda i, j, k: (k, i),
+                              memory_space=pltpu.VMEM)
+    else:
+        a_spec = pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                              memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_spmm_kernel, mode=mode,
+                               transpose_a=transpose_a)
     out = pl.pallas_call(
-        _spmm_kernel,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((n, f), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                              # eps
-            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
-                         memory_space=pltpu.VMEM),                              # A tile
+            a_spec,                                                             # A tile
             pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),                              # H tile (k rows)
             pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
@@ -142,26 +189,29 @@ def _spmm_fwd_impl(adj: jnp.ndarray, h: jnp.ndarray, eps: jnp.ndarray,
     return out[:n0, :f0]
 
 
-@jax.custom_vjp
-def spmm_pallas(adj: jnp.ndarray, h: jnp.ndarray, eps: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def spmm_pallas(adj: jnp.ndarray, h: jnp.ndarray, eps: jnp.ndarray,
+                mode: str = "split") -> jnp.ndarray:
     """``A @ h + (1+eps) h`` as a tiled Pallas MXU kernel with custom VJP.
 
     ``adj`` is treated as non-differentiable graph structure; gradients flow to
-    ``h`` (``Aᵀ @ g + (1+eps) g``) and to the learnable GIN ``eps``
-    (``Σ g ⊙ h``), matching the autodiff of the reference GINConv with
-    ``train_eps=True`` (src/models/gnn.py:36).
+    ``h`` (``Aᵀ @ g + (1+eps) g``, computed by the same kernel with a
+    transposed index map — no Aᵀ materialization) and to the learnable GIN
+    ``eps`` (``Σ g ⊙ h``), matching the autodiff of the reference GINConv with
+    ``train_eps=True`` (src/models/gnn.py:36). See ``_spmm_kernel`` for the
+    precision modes; pass the adjacency pre-cast to bf16 for the full
+    bandwidth win in ``split``/``bf16`` modes.
     """
-    return _spmm_fwd_impl(adj, h, eps)
+    return _spmm_fwd_impl(adj, h, eps, mode=mode)
 
 
-def _spmm_fwd(adj, h, eps):
-    return _spmm_fwd_impl(adj, h, eps), (adj, h, eps)
+def _spmm_fwd(adj, h, eps, mode):
+    return _spmm_fwd_impl(adj, h, eps, mode=mode), (adj, h, eps)
 
 
-def _spmm_bwd(residuals, g):
+def _spmm_bwd(mode, residuals, g):
     adj, h, eps = residuals
-    # dL/dh = Aᵀ g + (1+eps) g — same kernel on the transposed adjacency.
-    dh = _spmm_fwd_impl(adj.T, g, eps)
+    dh = _spmm_fwd_impl(adj, g, eps, mode=mode, transpose_a=True)
     deps = jnp.vdot(g, h)
     return None, dh, deps.astype(jnp.asarray(eps).dtype).reshape(jnp.shape(eps))
 

@@ -47,17 +47,17 @@ class TrainState:
     balancer_step: jnp.ndarray  # AdaptiveLossBalancer.step_count
 
 
-def init_model(cfg: config.PretrainConfig, sample_batches, aggregation: str
-               ) -> Tuple[PretrainableGNN, dict]:
+def init_model(cfg: config.PretrainConfig, sample_batches, aggregation: str,
+               axis_name=None) -> Tuple[PretrainableGNN, dict]:
     model = PretrainableGNN(domain_names=tuple(cfg.pretrain_domains),
                             task_names=tuple(cfg.active_tasks),
-                            aggregation=aggregation)
+                            aggregation=aggregation, axis_name=axis_name)
     first_domain = cfg.pretrain_domains[0]
     b = sample_batches[first_domain]
     variables = model.init(
         {"params": jax.random.PRNGKey(cfg.seed),
          "dropout": jax.random.PRNGKey(cfg.seed + 1)},
-        jnp.asarray(b.x), jnp.asarray(b.node_mask), first_domain, True,
+        jnp.asarray(b.x), jnp.asarray(b.node_mask), first_domain, False,
         senders=jnp.asarray(b.senders), receivers=jnp.asarray(b.receivers),
         edge_mask=jnp.asarray(b.edge_mask))
     # init() only traces one domain's encoder+backbone path; initialize the
@@ -67,7 +67,7 @@ def init_model(cfg: config.PretrainConfig, sample_batches, aggregation: str
         v2 = model.init(
             {"params": jax.random.PRNGKey(cfg.seed),
              "dropout": jax.random.PRNGKey(cfg.seed + 1)},
-            jnp.asarray(bd.x), jnp.asarray(bd.node_mask), domain, True,
+            jnp.asarray(bd.x), jnp.asarray(bd.node_mask), domain, False,
             senders=jnp.asarray(bd.senders), receivers=jnp.asarray(bd.receivers),
             edge_mask=jnp.asarray(bd.edge_mask))
         for col in variables:
@@ -284,7 +284,8 @@ def run_evaluation(eval_fn, state, cfg, val_loaders, key, epoch,
 
 def pretrain(cfg: config.PretrainConfig, aggregation: str = "dense",
              epochs: int = config.PRETRAIN_EPOCHS,
-             processed_dir=None, use_wandb: bool = True) -> dict:
+             processed_dir=None, use_wandb: bool = True,
+             resume: bool = False, data_parallel: bool = False) -> dict:
     rng = np.random.default_rng(cfg.seed)
     key = jax.random.PRNGKey(cfg.seed)
 
@@ -298,8 +299,12 @@ def pretrain(cfg: config.PretrainConfig, aggregation: str = "dense",
     steps_per_epoch = len(train_loader)
     total_steps = steps_per_epoch * epochs
 
+    n_dev = len(jax.devices())
+    use_dp = data_parallel and n_dev > 1
+
     sample = train_loader.sample_step()
-    model, variables = init_model(cfg, sample, aggregation)
+    model, variables = init_model(cfg, sample, aggregation,
+                                  axis_name="data" if use_dp else None)
 
     optimizer = create_task_specific_optimizer(variables["params"],
                                                cfg.active_tasks)
@@ -309,22 +314,86 @@ def pretrain(cfg: config.PretrainConfig, aggregation: str = "dense",
                        opt_step=jnp.int32(0),
                        balancer_step=jnp.int32(0))
 
-    train_step = make_train_step(model, cfg, optimizer, total_steps)
+    if use_dp:
+        from gnn_pretraining_tpu.parallel.data_parallel import (
+            make_dp_train_step,
+            shard_sampler_step,
+        )
+        from gnn_pretraining_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=n_dev)
+        train_step = make_dp_train_step(model, cfg, optimizer, total_steps,
+                                        mesh)
+
+        def train_batches():
+            for _ in range(steps_per_epoch):
+                yield shard_sampler_step(train_loader, n_dev)
+    else:
+        train_step = make_train_step(model, cfg, optimizer, total_steps)
+
+        def train_batches():
+            yield from train_loader
     eval_fn = make_eval_fn(model, cfg, total_steps)
 
     best_total = float("inf")
     epochs_since_improvement = 0
     global_step = 0
+    start_epoch = 1
     ckpt_path = config.PRETRAIN_OUTPUT_DIR / f"model_{cfg.run_name}.msgpack"
+    resume_path = config.PRETRAIN_OUTPUT_DIR / f"resume_{cfg.run_name}.msgpack"
 
-    for epoch in range(1, epochs + 1):
-        for domain_batches in train_loader:
+    if resume and resume_path.exists():
+        from gnn_pretraining_tpu.utils.checkpoint import load_train_state
+
+        state, counters = load_train_state(resume_path, state)
+        start_epoch = counters["epoch"] + 1
+        best_total = counters["best_total"]
+        epochs_since_improvement = counters["epochs_since_improvement"]
+        global_step = counters["opt_step"]
+        print(f"resumed {cfg.run_name} at epoch {start_epoch} "
+              f"(best_val={best_total:.4f})")
+
+    from gnn_pretraining_tpu.utils.profiling import ThroughputMeter
+
+    # SpMM forwards per step per domain: one per plain-forward task, two for
+    # the contrastive two-view tasks, each through the 5-layer backbone.
+    forwards = sum(2 if t in ("node_contrast", "graph_contrast") else 1
+                   for t in cfg.active_tasks)
+    meter = ThroughputMeter()
+
+    # Metric fetches are pipelined one step behind the dispatch: the host
+    # never blocks on the device inside the step loop, hiding the (tunnel)
+    # round-trip behind the next step's compute.
+    pending = None  # (step, epoch, device metrics, step_edges)
+
+    def flush_pending():
+        nonlocal pending
+        if pending is None:
+            return
+        p_step, p_epoch, p_metrics, p_edges = pending
+        m = {k: float(v) for k, v in jax.device_get(p_metrics).items()}
+        m["train/progress/epoch"] = p_epoch
+        meter.update(p_edges, forwards * config.GNN_NUM_LAYERS)
+        m.update(meter.metrics())
+        logger.log(m, step=p_step)
+        pending = None
+
+    for epoch in range(start_epoch, epochs + 1):
+        for domain_batches in train_batches():
             global_step += 1
             key, sub = jax.random.split(key)
             state, metrics = train_step(state, domain_batches, sub)
-            metrics = {k: float(v) for k, v in metrics.items()}
-            metrics["train/progress/epoch"] = epoch
-            logger.log(metrics, step=global_step)
+            # Start the device→host copy immediately; it completes while the
+            # next step runs.
+            jax.tree.map(lambda a: a.copy_to_host_async()
+                         if hasattr(a, "copy_to_host_async") else None, metrics)
+            step_edges = int(sum(np.sum(np.asarray(b.edge_mask))
+                                 for b in domain_batches.values()))
+            flush_pending()
+            pending = (global_step, epoch, metrics, step_edges)
+            if global_step == 1:
+                meter.reset()  # exclude compile time from the throughput meter
+        flush_pending()
 
         key, sub = jax.random.split(key)
         total, val_metrics, balancer_step = run_evaluation(
@@ -338,6 +407,13 @@ def pretrain(cfg: config.PretrainConfig, aggregation: str = "dense",
                             val_metrics)
         else:
             epochs_since_improvement += 1
+
+        if resume:
+            from gnn_pretraining_tpu.utils.checkpoint import save_train_state
+
+            save_train_state(resume_path, state, epoch, best_total,
+                             epochs_since_improvement)
+
         if epochs_since_improvement >= int(epochs * config.PRETRAIN_PATIENCE_FRACTION):
             break
 
@@ -351,13 +427,22 @@ def main() -> None:
     parser.add_argument("--exp_name", type=str, required=True)
     parser.add_argument("--seed", type=int, required=True)
     parser.add_argument("--epochs", type=int, default=config.PRETRAIN_EPOCHS)
-    parser.add_argument("--aggregation", type=str, default="dense",
+    parser.add_argument("--aggregation", type=str, default="pallas",
                         choices=["dense", "pallas", "coo"])
     parser.add_argument("--no_wandb", action="store_true")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the in-run resume checkpoint")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard graphs over all devices (exact semantics)")
+    parser.add_argument("--debug_nans", action="store_true")
     args = parser.parse_args()
+    if args.debug_nans:
+        from gnn_pretraining_tpu.utils.profiling import enable_nan_checks
+        enable_nan_checks()
     cfg = config.PretrainConfig(exp_name=args.exp_name, seed=args.seed)
     result = pretrain(cfg, aggregation=args.aggregation, epochs=args.epochs,
-                      use_wandb=not args.no_wandb)
+                      use_wandb=not args.no_wandb, resume=args.resume,
+                      data_parallel=args.data_parallel)
     print(result)
 
 

@@ -42,6 +42,50 @@ def load_checkpoint(path) -> Dict[str, Any]:
     return serialization.msgpack_restore(blob)
 
 
+def save_train_state(path, state, epoch: int, best_total: float,
+                     epochs_since_improvement: int, extra=None) -> None:
+    """Full in-run resume state: params + BN stats + optimizer + counters.
+
+    The reference cannot resume mid-run (no optimizer state in checkpoints,
+    SURVEY.md §5); this is the cheap Orbax-style add, serialized with flax
+    msgpack so it stays torch-free.
+    """
+    from flax import serialization as ser
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": ser.to_state_dict(jax.device_get(state.opt_state)),
+        "counters": {
+            "opt_step": int(state.opt_step),
+            "balancer_step": int(state.balancer_step),
+            "epoch": int(epoch),
+            "best_total": float(best_total),
+            "epochs_since_improvement": int(epochs_since_improvement),
+        },
+        "extra": extra or {},
+    }
+    path.write_bytes(serialization.msgpack_serialize(_to_plain(payload)))
+
+
+def load_train_state(path, state_template):
+    """Restore a ``save_train_state`` file onto a freshly-built state."""
+    import jax.numpy as jnp
+    from flax import serialization as ser
+
+    payload = serialization.msgpack_restore(Path(path).read_bytes())
+    opt_state = ser.from_state_dict(state_template.opt_state,
+                                    payload["opt_state"])
+    c = payload["counters"]
+    state = state_template.replace(
+        params=payload["params"], batch_stats=payload["batch_stats"],
+        opt_state=opt_state, opt_step=jnp.int32(c["opt_step"]),
+        balancer_step=jnp.int32(c["balancer_step"]))
+    return state, c
+
+
 def _to_plain(tree):
     if isinstance(tree, dict):
         return {k: _to_plain(v) for k, v in tree.items()}

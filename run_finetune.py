@@ -18,6 +18,15 @@ from gnn_pretraining_tpu.utils.runtime import maybe_init_distributed, setup_jax
 from gnn_pretraining_tpu.finetune.finetune import finetune
 
 
+def shard_grid(grid, args):
+    """Round-robin grid partitioning across hosts (see run_pretrain.py)."""
+    import jax
+
+    n = args.num_shards if args.num_shards else jax.process_count()
+    i = args.shard_index if args.shard_index is not None else jax.process_index()
+    return grid[i::n] if n > 1 else grid
+
+
 def cell_completed(run_name: str) -> bool:
     return (config.METRICS_DIR / config.FINETUNE_PROJECT_NAME
             / f"{run_name}.summary.json").exists()
@@ -32,7 +41,9 @@ def full_grid() -> List[Tuple[str, str, str, int]]:
 
 
 def run_grid(grid, args) -> None:
-    print(f"Fine-tuning sweep: {len(grid)} runs")
+    grid = shard_grid(grid, args)
+    print(f"Fine-tuning sweep: {len(grid)} runs (shard "
+          f"{args.shard_index}/{args.num_shards})")
     failed = []
     for i, (domain, strategy, scheme, seed) in enumerate(grid):
         cfg = config.FinetuneConfig(domain_name=domain,
@@ -71,9 +82,11 @@ def main() -> None:
     parser.add_argument("--pretrained_scheme", type=str, default=None)
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--epochs", type=int, default=None)
-    parser.add_argument("--aggregation", type=str, default="dense",
+    parser.add_argument("--aggregation", type=str, default="pallas",
                         choices=["dense", "pallas", "coo"])
     parser.add_argument("--no_wandb", action="store_true")
+    parser.add_argument("--shard_index", type=int, default=None)
+    parser.add_argument("--num_shards", type=int, default=0)
     args = parser.parse_args()
 
     if args.sweep:

@@ -20,6 +20,18 @@ from gnn_pretraining_tpu.utils.runtime import maybe_init_distributed, setup_jax
 from gnn_pretraining_tpu.pretrain.pretrain import pretrain
 
 
+def shard_grid(grid, args):
+    """Partition the experiment grid across hosts (SURVEY.md §2.6: the
+    reference splits its grid across 2 VMs by hand; here round-robin by
+    ``--shard_index/--num_shards``, defaulting to the jax process index under
+    multi-host)."""
+    import jax
+
+    n = args.num_shards if args.num_shards else jax.process_count()
+    i = args.shard_index if args.shard_index is not None else jax.process_index()
+    return grid[i::n] if n > 1 else grid
+
+
 def cell_completed(run_name: str) -> bool:
     return (config.METRICS_DIR / config.PRETRAIN_PROJECT_NAME
             / f"{run_name}.summary.json").exists()
@@ -27,7 +39,9 @@ def cell_completed(run_name: str) -> bool:
 
 def run_sweep(args) -> None:
     grid = [(e, s) for e in config.ALL_SCHEMES for s in config.SEEDS]
-    print(f"Pretraining sweep: {len(grid)} runs")
+    grid = shard_grid(grid, args)
+    print(f"Pretraining sweep: {len(grid)} runs (shard "
+          f"{args.shard_index}/{args.num_shards})")
     failed = []
     for i, (exp, seed) in enumerate(grid):
         cfg = config.PretrainConfig(exp_name=exp, seed=seed)
@@ -37,7 +51,8 @@ def run_sweep(args) -> None:
         t0 = time.time()
         try:
             res = pretrain(cfg, aggregation=args.aggregation,
-                           epochs=args.epochs, use_wandb=not args.no_wandb)
+                           epochs=args.epochs, use_wandb=not args.no_wandb,
+                           resume=args.resume)
             print(f"[{i+1}/{len(grid)}] {cfg.run_name}: "
                   f"best_val={res['best_val_total']:.4f} "
                   f"({time.time()-t0:.0f}s)")
@@ -61,9 +76,11 @@ def main() -> None:
     parser.add_argument("--exp_name", type=str, default=None)
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--epochs", type=int, default=config.PRETRAIN_EPOCHS)
-    parser.add_argument("--aggregation", type=str, default="dense",
+    parser.add_argument("--aggregation", type=str, default="pallas",
                         choices=["dense", "pallas", "coo"])
     parser.add_argument("--no_wandb", action="store_true")
+    parser.add_argument("--shard_index", type=int, default=None)
+    parser.add_argument("--num_shards", type=int, default=0)
     args = parser.parse_args()
 
     if args.sweep:

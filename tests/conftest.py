@@ -20,3 +20,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the suite is dominated by XLA CPU compiles of
+# the train steps; reruns hit the cache and finish in a fraction of the time.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", "outputs",
+                          ".jax_cache_cpu")
+os.makedirs(_cache_dir, exist_ok=True)
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass

@@ -67,8 +67,27 @@ class TestAggregation:
         eps = jnp.float32(-0.2)
 
         out_ref = gin_aggregate_dense(jnp.array(h), jnp.array(adj), eps)
-        out_pl = spmm_pallas(jnp.array(adj), jnp.array(h), eps)
+        out_pl = spmm_pallas(jnp.array(adj), jnp.array(h), eps, "highest")
         np.testing.assert_allclose(out_pl, out_ref, rtol=1e-5, atol=1e-5)
+
+    def test_pallas_precision_modes(self):
+        rng = np.random.default_rng(8)
+        n = 144
+        adj = (rng.random((n, n)) < 0.05).astype(np.float32)
+        h = rng.normal(size=(n, 64)).astype(np.float32)
+        eps = jnp.float32(0.1)
+        ref = gin_aggregate_dense(jnp.array(h), jnp.array(adj), eps)
+        scale = float(jnp.max(jnp.abs(ref)))
+        # split: two bf16 passes over hi/lo — near-f32
+        out = spmm_pallas(jnp.array(adj), jnp.array(h), eps, "split")
+        assert float(jnp.max(jnp.abs(out - ref))) / scale < 1e-3
+        # bf16: single pass — throughput mode
+        out = spmm_pallas(jnp.array(adj), jnp.array(h), eps, "bf16")
+        assert float(jnp.max(jnp.abs(out - ref))) / scale < 5e-2
+        # bf16-stored adjacency is exact for split (entries are small ints)
+        out = spmm_pallas(jnp.array(adj, jnp.bfloat16), jnp.array(h), eps,
+                          "split")
+        assert float(jnp.max(jnp.abs(out - ref))) / scale < 1e-3
 
     def test_pallas_custom_vjp_matches_autodiff(self):
         rng = np.random.default_rng(3)
@@ -78,7 +97,7 @@ class TestAggregation:
         eps0 = jnp.float32(0.05)
 
         def loss_pl(h_, e_):
-            return jnp.sum(spmm_pallas(jnp.array(adj), h_, e_) ** 2)
+            return jnp.sum(spmm_pallas(jnp.array(adj), h_, e_, "highest") ** 2)
 
         def loss_ref(h_, e_):
             return jnp.sum(gin_aggregate_dense(h_, jnp.array(adj), e_) ** 2)
@@ -87,6 +106,20 @@ class TestAggregation:
         gh_ref, ge_ref = jax.grad(loss_ref, argnums=(0, 1))(jnp.array(h), eps0)
         np.testing.assert_allclose(gh_pl, gh_ref, rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(ge_pl, ge_ref, rtol=1e-4, atol=1e-4)
+
+    def test_pallas_split_mode_grads_close(self):
+        rng = np.random.default_rng(9)
+        n = 80
+        adj = (rng.random((n, n)) < 0.1).astype(np.float32)
+        h = rng.normal(size=(n, 32)).astype(np.float32)
+        eps0 = jnp.float32(0.0)
+
+        gh_split = jax.grad(lambda x: jnp.sum(
+            spmm_pallas(jnp.array(adj), x, eps0, "split") ** 2))(jnp.array(h))
+        gh_ref = jax.grad(lambda x: jnp.sum(
+            gin_aggregate_dense(x, jnp.array(adj), eps0) ** 2))(jnp.array(h))
+        scale = float(jnp.max(jnp.abs(gh_ref))) + 1e-9
+        assert float(jnp.max(jnp.abs(gh_split - gh_ref))) / scale < 2e-3
 
 
 class TestSegment:
