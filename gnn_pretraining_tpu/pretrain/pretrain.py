@@ -378,8 +378,30 @@ def pretrain(cfg: config.PretrainConfig, aggregation: str = "dense",
         logger.log(m, step=p_step)
         pending = None
 
+    def prefetched(gen, depth: int = 3):
+        """Host-side pipeline: batch assembly (sampling + native batcher) runs
+        in a producer thread so the step loop never waits on it."""
+        import queue
+        import threading
+
+        q = queue.Queue(maxsize=depth)
+        stop = object()
+
+        def producer():
+            for item in gen:
+                q.put(item)
+            q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            yield item
+
     for epoch in range(start_epoch, epochs + 1):
-        for domain_batches in train_batches():
+        for domain_batches in prefetched(train_batches()):
             global_step += 1
             key, sub = jax.random.split(key)
             state, metrics = train_step(state, domain_batches, sub)
