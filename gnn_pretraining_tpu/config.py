@@ -88,6 +88,10 @@ LR_FINETUNE = 1e-3
 BN_MOMENTUM = 0.1
 BN_EPS = 1e-5
 
+# Use the fused Pallas NT-Xent kernel (ops/ntxent_pallas.py) on the
+# single-chip path; the SPMD path always uses the gather-based XLA variant.
+FUSED_NTXENT = True
+
 # ---------------------------------------------------------------------------
 # Augmentations (reference: src/pretrain/augmentations.py:7-14)
 # ---------------------------------------------------------------------------

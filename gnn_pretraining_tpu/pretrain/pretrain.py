@@ -361,22 +361,25 @@ def pretrain(cfg: config.PretrainConfig, aggregation: str = "dense",
                    for t in cfg.active_tasks)
     meter = ThroughputMeter()
 
-    # Metric fetches are pipelined one step behind the dispatch: the host
-    # never blocks on the device inside the step loop, hiding the (tunnel)
-    # round-trip behind the next step's compute.
-    pending = None  # (step, epoch, device metrics, step_edges)
+    # Metric fetches are pipelined behind the dispatch and flushed in groups:
+    # the host blocks on the device (one tunnel round-trip) once per
+    # FLUSH_EVERY steps instead of every step; values are unchanged, only
+    # written a few steps late.
+    FLUSH_EVERY = 8
+    pending = []  # [(step, epoch, device metrics, step_edges)]
 
     def flush_pending():
         nonlocal pending
-        if pending is None:
+        if not pending:
             return
-        p_step, p_epoch, p_metrics, p_edges = pending
-        m = {k: float(v) for k, v in jax.device_get(p_metrics).items()}
-        m["train/progress/epoch"] = p_epoch
-        meter.update(p_edges, forwards * config.GNN_NUM_LAYERS)
-        m.update(meter.metrics())
-        logger.log(m, step=p_step)
-        pending = None
+        fetched = jax.device_get([p[2] for p in pending])
+        for (p_step, p_epoch, _, p_edges), vals in zip(pending, fetched):
+            m = {k: float(v) for k, v in vals.items()}
+            m["train/progress/epoch"] = p_epoch
+            meter.update(p_edges, forwards * config.GNN_NUM_LAYERS)
+            m.update(meter.metrics())
+            logger.log(m, step=p_step)
+        pending = []
 
     def prefetched(gen, depth: int = 3):
         """Host-side pipeline: batch assembly (sampling + native batcher) runs
@@ -389,7 +392,9 @@ def pretrain(cfg: config.PretrainConfig, aggregation: str = "dense",
 
         def producer():
             for item in gen:
-                q.put(item)
+                # Start the host->device transfer in the producer so uploads
+                # overlap the previous step's compute.
+                q.put(jax.device_put(item))
             q.put(stop)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -411,8 +416,9 @@ def pretrain(cfg: config.PretrainConfig, aggregation: str = "dense",
                          if hasattr(a, "copy_to_host_async") else None, metrics)
             step_edges = int(sum(np.sum(np.asarray(b.edge_mask))
                                  for b in domain_batches.values()))
-            flush_pending()
-            pending = (global_step, epoch, metrics, step_edges)
+            pending.append((global_step, epoch, metrics, step_edges))
+            if len(pending) >= FLUSH_EVERY:
+                flush_pending()
             if global_step == 1:
                 meter.reset()  # exclude compile time from the throughput meter
         flush_pending()

@@ -31,7 +31,14 @@ from gnn_pretraining_tpu.ops.sampling import (
     batched_negative_sampling,
     masked_randperm_select,
 )
+from gnn_pretraining_tpu.ops.ntxent_pallas import nt_xent_pallas
 from gnn_pretraining_tpu.ops.sddmm import nt_xent_loss
+
+
+def _nt_xent(z1, z2, temperature, valid, axis_name):
+    if axis_name is None and config.FUSED_NTXENT:
+        return nt_xent_pallas(z1, z2, temperature, valid)
+    return nt_xent_loss(z1, z2, temperature, valid, axis_name=axis_name)
 from gnn_pretraining_tpu.ops.segment import (
     segment_max,
     segment_mean,
@@ -229,8 +236,8 @@ def node_contrast_loss(model, params, stats, domain_batches, key, ctx):
         z2 = _head(model, params, PretrainableGNN.node_contrast_head,
                    (h2, domain, ctx.train), k_h2, ctx.train)
 
-        loss_sum, rows = nt_xent_loss(z1, z2, ctx.temperature, common,
-                                      axis_name=ctx.axis_name)
+        loss_sum, rows = _nt_xent(z1, z2, ctx.temperature, common,
+                                  ctx.axis_name)
         # skip domain when fewer than 2 common nodes (:173-175)
         valid = (_preduce(jnp.sum(common), ctx.axis_name) >= 2).astype(jnp.float32)
         loss_sum = loss_sum * valid
@@ -265,8 +272,8 @@ def graph_contrast_loss(model, params, stats, domain_batches, key, ctx):
         z2 = _head(model, params, PretrainableGNN.graph_contrast_head,
                    (s2, domain, ctx.train), k_h2, ctx.train)
 
-        loss_sum, rows = nt_xent_loss(z1, z2, ctx.temperature, batch.graph_mask,
-                                      axis_name=ctx.axis_name)
+        loss_sum, rows = _nt_xent(z1, z2, ctx.temperature, batch.graph_mask,
+                                  ctx.axis_name)
         # skip domain with fewer than 2 graphs (:231-234)
         valid = (_preduce(jnp.sum(batch.graph_mask), ctx.axis_name)
                  >= 2).astype(jnp.float32)
