@@ -19,8 +19,7 @@ across its rows).
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, List
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -19,12 +19,9 @@ the replicated-sum transpose), so fwd+bwd both scale with |E|/n_devices.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from gnn_pretraining_tpu.data.batch import round_up
