@@ -1,0 +1,107 @@
+"""Raw-format parser tests: write synthetic raw files, parse, compare.
+
+Validates the torch-geometric-free readers (data/parsers.py) against
+round-trips of the on-disk formats, so the pipeline is ready the moment real
+TUDataset/Planetoid raw files are dropped into data/raw.
+"""
+
+import pathlib
+import pickle
+import tempfile
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from gnn_pretraining_tpu.data.parsers import parse_planetoid, parse_tu_dataset
+
+
+def _write_tu_raw(d: pathlib.Path, name: str):
+    """Two triangles with node labels + attributes, labels {-1, 1}."""
+    d.mkdir(parents=True, exist_ok=True)
+    # graph 1: nodes 1-3, graph 2: nodes 4-6 (1-based, undirected both dirs)
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1),
+             (4, 5), (5, 4), (5, 6), (6, 5), (4, 6), (6, 4),
+             (1, 1)]  # self-loop: must be dropped
+    (d / f"{name}_A.txt").write_text(
+        "\n".join(f"{a}, {b}" for a, b in edges) + "\n")
+    (d / f"{name}_graph_indicator.txt").write_text(
+        "\n".join(["1"] * 3 + ["2"] * 3) + "\n")
+    (d / f"{name}_graph_labels.txt").write_text("-1\n1\n")
+    (d / f"{name}_node_labels.txt").write_text("\n".join("012021") + "\n")
+    attrs = np.arange(12, dtype=float).reshape(6, 2)
+    (d / f"{name}_node_attributes.txt").write_text(
+        "\n".join(f"{a}, {b}" for a, b in attrs) + "\n")
+
+
+class TestTUParser:
+    def test_roundtrip(self):
+        tmp = pathlib.Path(tempfile.mkdtemp())
+        _write_tu_raw(tmp, "TOY")
+        x, ei, noff, eoff, y = parse_tu_dataset(tmp, "TOY")
+
+        assert x.shape == (6, 2 + 3)  # 2 attrs + 3 one-hot node labels
+        np.testing.assert_array_equal(noff, [0, 3, 6])
+        # 6 directed edges per graph; self-loop removed
+        np.testing.assert_array_equal(eoff, [0, 6, 12])
+        np.testing.assert_array_equal(y, [0, 1])  # {-1,1} -> {0,1}
+        # attributes preserved, one-hot correct
+        np.testing.assert_array_equal(x[:, :2], np.arange(12).reshape(6, 2))
+        np.testing.assert_array_equal(x[0, 2:], [1, 0, 0])  # label '0'
+        np.testing.assert_array_equal(x[1, 2:], [0, 1, 0])  # label '1'
+        # edges are graph-local (0-based within each graph)
+        assert ei[:, :6].max() < 3
+        assert ei[:, 6:].max() < 3
+
+    def test_missing_raises(self):
+        with pytest.raises(FileNotFoundError):
+            parse_tu_dataset(pathlib.Path(tempfile.mkdtemp()), "NOPE")
+
+
+def _write_planetoid_raw(d: pathlib.Path, name: str):
+    """Tiny 8-node citation graph in the ind.* pickled format."""
+    d.mkdir(parents=True, exist_ok=True)
+    n_train, n_test, n_all = 3, 2, 6  # allx covers 6, test idx 6..7
+    dim, c = 5, 3
+    rng = np.random.default_rng(0)
+    lname = name.lower()
+
+    def dump(obj, suffix):
+        with open(d / f"ind.{lname}.{suffix}", "wb") as f:
+            pickle.dump(obj, f)
+
+    allx = sp.csr_matrix(rng.random((n_all, dim)).astype(np.float32))
+    tx = sp.csr_matrix(rng.random((n_test, dim)).astype(np.float32))
+    x = allx[:n_train]
+    ally = np.eye(c)[rng.integers(0, c, n_all)]
+    ty = np.eye(c)[rng.integers(0, c, n_test)]
+    yy = ally[:n_train]
+    graph = {0: [1, 2], 1: [0], 2: [0, 3], 3: [2], 4: [5], 5: [4],
+             6: [7], 7: [6]}
+    dump(x, "x"); dump(tx, "tx"); dump(allx, "allx")
+    dump(yy, "y"); dump(ty, "ty"); dump(ally, "ally")
+    dump(graph, "graph")
+    (d / f"ind.{lname}.test.index").write_text("6\n7\n")
+    return allx, tx, ally, ty
+
+
+class TestPlanetoidParser:
+    def test_roundtrip(self):
+        tmp = pathlib.Path(tempfile.mkdtemp())
+        allx, tx, ally, ty = _write_planetoid_raw(tmp, "Toy")
+        out = parse_planetoid(tmp, "Toy")
+
+        assert out["x"].shape == (8, 5)
+        np.testing.assert_allclose(out["x"][:6], np.asarray(allx.todense()),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(out["x"][6:], np.asarray(tx.todense()),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(out["y"][:6], ally.argmax(1))
+        np.testing.assert_array_equal(out["y"][6:], ty.argmax(1))
+        # standard masks: first len(y) train, next 500-capped val, test idx
+        assert out["train_mask"][:3].all() and not out["train_mask"][3:].any()
+        assert out["test_mask"][6:].all() and not out["test_mask"][:6].any()
+        # undirected coalesced edges, no self-loops
+        ei = out["edge_index"]
+        assert ei.shape[1] == 10  # 5 undirected pairs x 2 directions
+        assert (ei[0] != ei[1]).all()
