@@ -29,10 +29,12 @@ class FinetuneGNN(nn.Module):
     domain_name: str
     aggregation: str = "dense"
     axis_name: Optional[str] = None
+    edge_axis: Optional[str] = None  # edge-partitioned message passing
 
     def setup(self):
         self.input_encoder = InputEncoder(axis_name=self.axis_name)
-        self.gnn_backbone = GINBackbone(self.aggregation, self.axis_name)
+        self.gnn_backbone = GINBackbone(self.aggregation, self.axis_name,
+                                        self.edge_axis)
         task_type = config.TASK_TYPES[self.domain_name]
         c = config.NUM_CLASSES[self.domain_name]
         if task_type == "graph_classification":

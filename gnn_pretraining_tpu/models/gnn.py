@@ -71,9 +71,10 @@ class InputEncoder(nn.Module):
 
 
 def _aggregate(h: jnp.ndarray, eps: jnp.ndarray, adj, senders, receivers,
-               edge_mask, impl: str) -> jnp.ndarray:
+               edge_mask, impl: str, edge_axis=None) -> jnp.ndarray:
     if impl == "coo" or adj is None:
-        return gin_aggregate_coo(h, senders, receivers, edge_mask, eps)
+        return gin_aggregate_coo(h, senders, receivers, edge_mask, eps,
+                                 edge_axis=edge_axis)
     if impl == "pallas":
         return spmm_pallas(adj, h, eps)
     return gin_aggregate_dense(h, adj, eps)
@@ -84,6 +85,7 @@ class GINLayer(nn.Module):
 
     aggregation: str = "dense"   # "dense" | "pallas" | "coo"
     axis_name: Optional[str] = None
+    edge_axis: Optional[str] = None  # mesh axis for edge-partitioned coo
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, node_mask, train: bool, *,
@@ -92,7 +94,7 @@ class GINLayer(nn.Module):
         # PyG GINConv(train_eps=True) starts at eps=0.
         eps = self.param("eps", nn.initializers.zeros, ())
         z = _aggregate(h, eps, adj, senders, receivers, edge_mask,
-                       self.aggregation)
+                       self.aggregation, self.edge_axis)
         # The GIN MLP: 256 → 512 (+BN+ReLU) → 256.
         z = TorchLinear(2 * config.GNN_HIDDEN_DIM, name="mlp_0")(z)
         z = MaskedBatchNorm(2 * config.GNN_HIDDEN_DIM, name="mlp_bn",
@@ -113,13 +115,15 @@ class GINBackbone(nn.Module):
 
     aggregation: str = "dense"
     axis_name: Optional[str] = None
+    edge_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, node_mask, train: bool, *,
                  adj=None, senders=None, receivers=None, edge_mask=None
                  ) -> jnp.ndarray:
         for i in range(config.GNN_NUM_LAYERS):
-            h = GINLayer(self.aggregation, self.axis_name, name=f"layers_{i}")(
+            h = GINLayer(self.aggregation, self.axis_name, self.edge_axis,
+                         name=f"layers_{i}")(
                 h, node_mask, train, adj=adj, senders=senders,
                 receivers=receivers, edge_mask=edge_mask)
         return h

@@ -50,10 +50,19 @@ def build_dense_adjacency(senders: jnp.ndarray, receivers: jnp.ndarray,
 
 
 def gin_aggregate_coo(h: jnp.ndarray, senders: jnp.ndarray, receivers: jnp.ndarray,
-                      edge_mask: jnp.ndarray, eps: jnp.ndarray) -> jnp.ndarray:
-    """Reference-semantics aggregation via gather + masked segment_sum."""
+                      edge_mask: jnp.ndarray, eps: jnp.ndarray,
+                      edge_axis: str | None = None) -> jnp.ndarray:
+    """Reference-semantics aggregation via gather + masked segment_sum.
+
+    With ``edge_axis`` (inside shard_map with the edge list sharded over that
+    mesh axis), each device computes a partial aggregation over its local
+    edges and the partials are psum-combined — the edge-partitioned execution
+    of parallel/edge_partition.py, available to the full model.
+    """
     msgs = h[senders] * edge_mask.astype(h.dtype)[:, None]
     agg = jax.ops.segment_sum(msgs, receivers, num_segments=h.shape[0])
+    if edge_axis is not None:
+        agg = jax.lax.psum(agg, edge_axis)
     return agg + (1.0 + eps) * h
 
 
