@@ -1,0 +1,73 @@
+"""Loss-formula and head parity vs torch functional semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from gnn_pretraining_tpu.models.heads import MLPLinkPredictor
+from gnn_pretraining_tpu.pretrain.tasks import _LOG_CLAMP
+
+
+class TestBCEParity:
+    def test_clamped_bce_matches_torch(self):
+        # link-pred BCE on sigmoid probs (reference tasks.py:120,
+        # finetune.py:202) — torch clamps log terms at -100.
+        rng = np.random.default_rng(0)
+        probs = np.concatenate([rng.random(20), [0.0, 1.0, 1e-12, 1 - 1e-7]])
+        labels = (rng.random(len(probs)) < 0.5).astype(np.float32)
+
+        t = F.binary_cross_entropy(torch.tensor(probs.astype(np.float32)),
+                                   torch.tensor(labels),
+                                   reduction="sum").item()
+        p = jnp.asarray(probs, jnp.float32)
+        y = jnp.asarray(labels)
+        log_p = jnp.maximum(jnp.log(p), _LOG_CLAMP)
+        log_1mp = jnp.maximum(jnp.log1p(-p), _LOG_CLAMP)
+        ours = float(jnp.sum(-(y * log_p + (1 - y) * log_1mp)))
+        np.testing.assert_allclose(ours, t, rtol=1e-5)
+
+    def test_bce_with_logits_matches_torch(self):
+        # graph-classification binary loss (reference finetune.py:150-153)
+        rng = np.random.default_rng(1)
+        z = rng.normal(size=32).astype(np.float32) * 8
+        y = (rng.random(32) < 0.5).astype(np.float32)
+        t = F.binary_cross_entropy_with_logits(torch.tensor(z),
+                                               torch.tensor(y)).item()
+        zj, yj = jnp.asarray(z), jnp.asarray(y)
+        per = jnp.maximum(zj, 0) - zj * yj + jnp.log1p(jnp.exp(-jnp.abs(zj)))
+        np.testing.assert_allclose(float(jnp.mean(per)), t, rtol=1e-5)
+
+
+class TestLinkPredictorParity:
+    def test_edge_features_and_scores_match_torch(self):
+        """[h_u+h_v ; h_u*h_v ; |h_u-h_v|] -> MLP[768->256->1] -> sigmoid
+        (reference heads.py:53-67), weights copied into a torch replica."""
+        rng = np.random.default_rng(2)
+        n, e = 20, 15
+        h = rng.normal(size=(n, 256)).astype(np.float32)
+        src = rng.integers(0, n, e).astype(np.int32)
+        dst = rng.integers(0, n, e).astype(np.int32)
+
+        model = MLPLinkPredictor()
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jnp.asarray(h), jnp.asarray(src), jnp.asarray(dst), False)
+        ours = model.apply(variables, jnp.asarray(h), jnp.asarray(src),
+                           jnp.asarray(dst), False)
+
+        p = variables["params"]["predictor"]
+        lin0 = torch.nn.Linear(768, 256)
+        lin1 = torch.nn.Linear(256, 1)
+        lin0.weight.data = torch.tensor(np.asarray(p["linear_0"]["kernel"]).T)
+        lin0.bias.data = torch.tensor(np.asarray(p["linear_0"]["bias"]))
+        lin1.weight.data = torch.tensor(np.asarray(p["linear_1"]["kernel"]).T)
+        lin1.bias.data = torch.tensor(np.asarray(p["linear_1"]["bias"]))
+
+        ht = torch.tensor(h)
+        hs, hd = ht[src], ht[dst]
+        feats = torch.cat([hs + hd, hs * hd, (hs - hd).abs()], dim=1)
+        ref = torch.sigmoid(lin1(F.relu(lin0(feats))).squeeze(-1))
+        np.testing.assert_allclose(np.asarray(ours), ref.detach().numpy(),
+                                   rtol=1e-5, atol=1e-6)
