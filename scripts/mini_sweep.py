@@ -35,12 +35,14 @@ def main() -> None:
     p.add_argument("--aggregation", type=str, default="pallas")
     p.add_argument("--domains", nargs="+",
                    default=list(config.FINETUNE_DOMAINS))
+    p.add_argument("--skip_pretrain", action="store_true",
+                   help="reuse existing pretrain checkpoints")
     args = p.parse_args()
 
     setup_jax()
     t0 = time.time()
 
-    for scheme in args.schemes:
+    for scheme in ([] if args.skip_pretrain else args.schemes):
         for seed in args.seeds:
             cfg = config.PretrainConfig(exp_name=scheme, seed=seed)
             t = time.time()
