@@ -166,6 +166,11 @@ def process_planetoid_dataset(name: str, raw_dir: Path, synthetic_scale: float =
     try:
         d = parse_planetoid(raw_dir, name)
         source = "raw"
+        # Reference loads Planetoid with transform=NormalizeFeatures()
+        # (src/data/data_setup.py:154): rows divided by their sum, clamped to
+        # a minimum of 1. Synthetic stand-ins are generated pre-normalized.
+        row_sum = d["x"].sum(axis=1, keepdims=True)
+        d["x"] = (d["x"] / np.maximum(row_sum, 1.0)).astype(np.float32)
     except FileNotFoundError:
         d = synthetic.generate_planetoid(name, seed=synthetic_seed,
                                          scale=synthetic_scale)

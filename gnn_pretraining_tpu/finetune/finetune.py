@@ -348,7 +348,8 @@ def _init_finetune_model(cfg, data, aggregation, seed):
 
 def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
              processed_dir=None, use_wandb: bool = True,
-             epochs: Optional[int] = None) -> Dict[str, float]:
+             epochs: Optional[int] = None,
+             edge_parallel: bool = False) -> Dict[str, float]:
     training_start = time.time()
     epochs = epochs or cfg.epochs
     patience = int(epochs * config.FINETUNE_PATIENCE_FRACTION)
@@ -390,13 +391,26 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
                 yield ("gc", b)
     elif cfg.task_type == "node_classification":
         g = data["train"].graph
-        adj_dtype = jnp.bfloat16 if aggregation == "pallas" else jnp.float32
-        adj = build_dense_adjacency(jnp.asarray(g.senders),
-                                    jnp.asarray(g.receivers),
-                                    jnp.asarray(g.edge_mask), g.num_nodes,
-                                    dtype=adj_dtype)
-        train_step, eval_step = make_nc_steps(model, cfg, optimizer, labels,
-                                              g, adj)
+        if edge_parallel and len(jax.devices()) > 1:
+            from gnn_pretraining_tpu.finetune.edge_parallel import (
+                make_nc_steps_edge_parallel,
+            )
+            from gnn_pretraining_tpu.parallel.mesh import make_mesh
+
+            n_dev = len(jax.devices())
+            mesh = make_mesh(n_data=1, n_edge=n_dev)
+            ep_model = FinetuneGNN(domain_name=cfg.domain_name,
+                                   aggregation="coo", edge_axis="edge")
+            train_step, eval_step = make_nc_steps_edge_parallel(
+                ep_model, cfg, optimizer, labels, g, mesh, n_dev)
+        else:
+            adj_dtype = jnp.bfloat16 if aggregation == "pallas" else jnp.float32
+            adj = build_dense_adjacency(jnp.asarray(g.senders),
+                                        jnp.asarray(g.receivers),
+                                        jnp.asarray(g.edge_mask), g.num_nodes,
+                                        dtype=adj_dtype)
+            train_step, eval_step = make_nc_steps(model, cfg, optimizer,
+                                                  labels, g, adj)
 
         def train_batches():
             d = data["train"]
@@ -418,8 +432,23 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
         forbidden = build_forbidden_mask(g.num_nodes, train_edges)
         n_cand = candidate_count(g.num_nodes, train_edges)
         num_hard = hard_count(n_cand, cfg.batch_size)
-        train_step, eval_step = make_lp_steps(model, cfg, optimizer, labels,
-                                              g, adj_train, forbidden, num_hard)
+        if edge_parallel and len(jax.devices()) > 1:
+            from gnn_pretraining_tpu.finetune.edge_parallel import (
+                make_lp_steps_edge_parallel,
+            )
+            from gnn_pretraining_tpu.parallel.mesh import make_mesh
+
+            n_dev = len(jax.devices())
+            mesh = make_mesh(n_data=1, n_edge=n_dev)
+            ep_model = FinetuneGNN(domain_name=cfg.domain_name,
+                                   aggregation="coo", edge_axis="edge")
+            train_step, eval_step = make_lp_steps_edge_parallel(
+                ep_model, cfg, optimizer, labels, g, mesh, n_dev,
+                forbidden, num_hard)
+        else:
+            train_step, eval_step = make_lp_steps(model, cfg, optimizer,
+                                                  labels, g, adj_train,
+                                                  forbidden, num_hard)
 
         def train_batches():
             d = data["train"]
@@ -528,13 +557,17 @@ def main() -> None:
     parser.add_argument("--aggregation", type=str, default="pallas",
                         choices=["dense", "pallas", "coo"])
     parser.add_argument("--no_wandb", action="store_true")
+    parser.add_argument("--edge_parallel", action="store_true",
+                        help="shard the graph's edges over all devices "
+                             "(node/link tasks)")
     args = parser.parse_args()
     cfg = config.FinetuneConfig(domain_name=args.domain_name,
                                 finetune_strategy=args.finetune_strategy,
                                 pretrained_scheme=args.pretrained_scheme,
                                 seed=args.seed)
     result = finetune(cfg, aggregation=args.aggregation, epochs=args.epochs,
-                      use_wandb=not args.no_wandb)
+                      use_wandb=not args.no_wandb,
+                      edge_parallel=args.edge_parallel)
     print({k: round(v, 4) if isinstance(v, float) else v
            for k, v in result.items()})
 
