@@ -365,9 +365,16 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
 
     model, variables = _init_finetune_model(cfg, data, aggregation, cfg.seed)
     if cfg.pretrained_scheme != "b1":
-        ckpt = load_checkpoint(
-            config.PRETRAIN_OUTPUT_DIR
-            / f"model_{cfg.pretrained_scheme}_{cfg.seed}.msgpack")
+        ckpt_file = (config.PRETRAIN_OUTPUT_DIR
+                     / f"model_{cfg.pretrained_scheme}_{cfg.seed}.msgpack")
+        if not ckpt_file.exists():
+            raise FileNotFoundError(
+                f"pretrained checkpoint {ckpt_file} not found — run "
+                f"`python run_pretrain.py --exp_name {cfg.pretrained_scheme} "
+                f"--seed {cfg.seed}` first (reference resolves missing local "
+                "checkpoints from wandb artifacts, finetune_model.py:83-125; "
+                "here the local outputs directory is the artifact store)")
+        ckpt = load_checkpoint(ckpt_file)
         variables = load_pretrained_into_finetune(
             variables, {"params": ckpt["params"],
                         "batch_stats": ckpt["batch_stats"]}, cfg.domain_name)
