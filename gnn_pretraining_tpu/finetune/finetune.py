@@ -349,7 +349,8 @@ def _init_finetune_model(cfg, data, aggregation, seed):
 def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
              processed_dir=None, use_wandb: bool = True,
              epochs: Optional[int] = None,
-             edge_parallel: bool = False) -> Dict[str, float]:
+             edge_parallel: bool = False,
+             data_parallel: bool = False) -> Dict[str, float]:
     training_start = time.time()
     epochs = epochs or cfg.epochs
     patience = int(epochs * config.FINETUNE_PATIENCE_FRACTION)
@@ -387,15 +388,45 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
 
     # Build the per-task-type steps + batch iterators.
     if cfg.task_type == "graph_classification":
-        train_step, eval_step = make_gc_steps(model, cfg, optimizer, labels)
+        if data_parallel and len(jax.devices()) > 1:
+            from gnn_pretraining_tpu.data.batch import GraphStore
+            from gnn_pretraining_tpu.finetune.gc_data_parallel import (
+                build_sharded_gc_batches,
+                make_gc_steps_data_parallel,
+            )
+            from gnn_pretraining_tpu.parallel.mesh import make_mesh
 
-        def train_batches():
-            for b in data["train"].batches:
-                yield ("gc", b)
+            n_dev = len(jax.devices())
+            mesh = make_mesh(n_data=n_dev)
+            dp_model = FinetuneGNN(domain_name=cfg.domain_name,
+                                   aggregation="coo", axis_name="data")
+            train_step, eval_step = make_gc_steps_data_parallel(
+                dp_model, cfg, optimizer, labels, mesh)
+            store = GraphStore.load(
+                (processed_dir or config.PROCESSED_DIR)
+                / f"{cfg.domain_name}.npz")
+            stacked = {split: build_sharded_gc_batches(
+                store, split, cfg.batch_size, n_dev)
+                for split in ("train", "val", "test")}
 
-        def eval_batches(split):
-            for b in data[split].batches:
-                yield ("gc", b)
+            def train_batches():
+                for b in stacked["train"]:
+                    yield ("gc_dp", b)
+
+            def eval_batches(split):
+                for b in stacked[split]:
+                    yield ("gc_dp", b)
+        else:
+            train_step, eval_step = make_gc_steps(model, cfg, optimizer,
+                                                  labels)
+
+            def train_batches():
+                for b in data["train"].batches:
+                    yield ("gc", b)
+
+            def eval_batches(split):
+                for b in data[split].batches:
+                    yield ("gc", b)
     elif cfg.task_type == "node_classification":
         g = data["train"].graph
         if edge_parallel and len(jax.devices()) > 1:
@@ -473,7 +504,11 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
     def run_eval_pass(split, epoch):
         batch_metrics = []
         for kind, payload in eval_batches(split):
-            if kind == "gc":
+            if kind == "gc_dp":
+                out = eval_step(state, payload)
+                loss, y, preds, probs, mask = jax.device_get(out)
+                valid = np.asarray(mask) > 0
+            elif kind == "gc":
                 b = payload
                 out = eval_step(state, b)
                 loss, y, preds, probs = jax.device_get(out)
@@ -506,7 +541,11 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
             step_start = time.time()
             global_step += 1
             key, sub = jax.random.split(key)
-            if kind == "gc":
+            if kind == "gc_dp":
+                state, *rest = train_step(state, payload, sub)
+                loss, y, preds, probs, mask, gnorm = jax.device_get(rest)
+                valid = np.asarray(mask) > 0
+            elif kind == "gc":
                 b = payload
                 state, *rest = train_step(state, b, sub)
                 loss, y, preds, probs, gnorm = jax.device_get(rest)
@@ -567,6 +606,9 @@ def main() -> None:
     parser.add_argument("--edge_parallel", action="store_true",
                         help="shard the graph's edges over all devices "
                              "(node/link tasks)")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard batch graphs over all devices "
+                             "(graph classification)")
     args = parser.parse_args()
     cfg = config.FinetuneConfig(domain_name=args.domain_name,
                                 finetune_strategy=args.finetune_strategy,
@@ -574,7 +616,8 @@ def main() -> None:
                                 seed=args.seed)
     result = finetune(cfg, aggregation=args.aggregation, epochs=args.epochs,
                       use_wandb=not args.no_wandb,
-                      edge_parallel=args.edge_parallel)
+                      edge_parallel=args.edge_parallel,
+                      data_parallel=args.data_parallel)
     print({k: round(v, 4) if isinstance(v, float) else v
            for k, v in result.items()})
 
