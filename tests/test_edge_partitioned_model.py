@@ -121,3 +121,54 @@ class TestEdgePartitionedFinetuneModel:
         for a, b in zip(jax.tree.leaves(g_sh), jax.tree.leaves(g_ref)):
             np.testing.assert_allclose(np.asarray(a) / factor, np.asarray(b),
                                        rtol=1e-3, atol=1e-5)
+
+
+class TestDataParallelGCFinetune:
+    def test_loss_matches_single_device(self, mesh, monkeypatch):
+        """DP GC eval loss over sharded sub-batches == single-device loss."""
+        import pathlib
+        import tempfile
+
+        from gnn_pretraining_tpu import config as cfg_mod
+        from gnn_pretraining_tpu.data import setup as data_setup
+        from gnn_pretraining_tpu.data.batch import GraphStore
+        from gnn_pretraining_tpu.data.loaders import create_finetune_arrays
+        from gnn_pretraining_tpu.finetune.finetune import (
+            FTState,
+            create_finetune_optimizer,
+            make_gc_steps,
+            _init_finetune_model,
+        )
+        from gnn_pretraining_tpu.finetune.gc_data_parallel import (
+            build_sharded_gc_batches,
+            make_gc_steps_data_parallel,
+        )
+        from gnn_pretraining_tpu.parallel.mesh import make_mesh
+
+        tmp = pathlib.Path(tempfile.mkdtemp())
+        data_setup.main(processed_dir=tmp, raw_dir=tmp / "raw",
+                        synthetic_scale=0.1)
+        cfg = cfg_mod.FinetuneConfig(domain_name="ENZYMES",
+                                     finetune_strategy="full_finetune",
+                                     pretrained_scheme="b1", seed=42)
+        data = {s: create_finetune_arrays("ENZYMES", s, 32, processed_dir=tmp)
+                for s in ("val", "test", "train")}
+        model, variables = _init_finetune_model(cfg, data, "coo", 42)
+        optimizer, labels, _ = create_finetune_optimizer(variables["params"], cfg)
+        state = FTState(variables["params"], variables["batch_stats"],
+                        optimizer.init(variables["params"]))
+
+        _, eval_ref = make_gc_steps(model, cfg, optimizer, labels)
+        ref_loss = float(eval_ref(state, data["val"].batches[0])[0])
+
+        dp_mesh = make_mesh(n_data=N_DEV)
+        from gnn_pretraining_tpu.models.finetune_model import FinetuneGNN
+
+        dp_model = FinetuneGNN(domain_name="ENZYMES", aggregation="coo",
+                               axis_name="data")
+        _, eval_dp = make_gc_steps_data_parallel(dp_model, cfg, optimizer,
+                                                 labels, dp_mesh)
+        store = GraphStore.load(tmp / "ENZYMES.npz")
+        stacked = build_sharded_gc_batches(store, "val", 32, N_DEV)
+        dp_loss = float(eval_dp(state, stacked[0])[0])
+        np.testing.assert_allclose(dp_loss, ref_loss, rtol=2e-4)
