@@ -248,18 +248,25 @@ def _np_balance(task_losses: Dict[str, float], step_count: int
 
 def run_evaluation(eval_fn, state, cfg, val_loaders, key, epoch,
                    logger, global_step):
+    # Dispatch every (task, domain, batch) loss asynchronously, then fetch
+    # them in one bundled transfer — one device round-trip per eval epoch.
+    futures = {}
+    for task in cfg.active_tasks:
+        for domain, batches in val_loaders.items():
+            futs = []
+            for b in batches:
+                key, sub = jax.random.split(key)
+                futs.append(eval_fn(state.params, state.batch_stats, task,
+                                    domain, b, sub, state.opt_step))
+            futures[(task, domain)] = futs
+    fetched = jax.device_get(futures)
+
     per_task = {}
     per_domain_task = {d: {} for d in val_loaders}
     for task in cfg.active_tasks:
         domain_means = []
-        for domain, batches in val_loaders.items():
-            losses = []
-            for i, b in enumerate(batches):
-                key, sub = jax.random.split(key)
-                losses.append(float(eval_fn(state.params, state.batch_stats,
-                                            task, domain, b, sub,
-                                            state.opt_step)))
-            m = float(np.mean(losses))
+        for domain in val_loaders:
+            m = float(np.mean([float(v) for v in fetched[(task, domain)]]))
             per_domain_task[domain][task] = m
             domain_means.append(m)
         per_task[task] = float(np.mean(domain_means))
