@@ -159,7 +159,7 @@ def build_batch(store: GraphStore, graph_indices: Sequence[int],
     Equivalent of ``Batch.from_data_list`` with local->global edge relabeling
     (reference: src/data/pretrain_data_loaders.py:41), plus zero padding.
     """
-    if _native_batcher is not None:
+    if _native_batcher is not None and len(graph_indices) > 0:
         idx = np.ascontiguousarray(np.asarray(graph_indices, np.int64))
         props = store.graph_properties if (
             with_properties and store.graph_properties is not None) else None
@@ -191,6 +191,24 @@ def _build_batch_numpy(store: GraphStore, graph_indices: Sequence[int],
         raise ValueError(f"{g} graphs > g_pad={g_pad}")
 
     d = store.node_features.shape[1]
+    if g == 0:
+        # All-padding batch (a device shard can receive zero graphs when a
+        # ragged tail is split across more devices than graphs).
+        p0 = store.graph_properties.shape[1] if store.graph_properties is not None else 12
+        return GraphBatch(
+            x=np.zeros((n_pad, d), np.float32),
+            senders=np.zeros(e_pad, np.int32),
+            receivers=np.zeros(e_pad, np.int32),
+            edge_mask=np.zeros(e_pad, np.float32),
+            edge_graph=np.zeros(e_pad, np.int32),
+            node_mask=np.zeros(n_pad, np.float32),
+            node_graph=np.zeros(n_pad, np.int32),
+            graph_mask=np.zeros(g_pad, np.float32),
+            node_start=np.zeros(g_pad, np.int32),
+            n_node=np.zeros(g_pad, np.int32),
+            n_edge=np.zeros(g_pad, np.int32),
+            y=np.zeros(g_pad, np.int32),
+            graph_properties=np.zeros((g_pad, p0), np.float32))
     p = store.graph_properties.shape[1] if store.graph_properties is not None else 12
 
     xs: List[np.ndarray] = []

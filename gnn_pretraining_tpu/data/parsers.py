@@ -155,28 +155,17 @@ def parse_planetoid(raw_dir: Path, name: str) -> Dict[str, np.ndarray]:
     ally = np.asarray(objs["ally"], np.float32)
     ty = np.asarray(objs["ty"], np.float32)
 
-    num_test = int(test_idx.max()) - int(test_idx.min()) + 1
-    if num_test > tx.shape[0]:
-        # CiteSeer: isolated test nodes missing from tx — pad with zeros
-        # (PyG Planetoid does the same).
-        tx_ext = np.zeros((num_test, tx.shape[1]), np.float32)
-        tx_ext[test_idx_sorted - test_idx.min()] = tx[np.argsort(test_idx)]
-        tx = tx_ext
-        ty_ext = np.zeros((num_test, ty.shape[1]), np.float32)
-        ty_ext[test_idx_sorted - test_idx.min()] = ty[np.argsort(test_idx)]
-        ty = ty_ext
-    else:
-        reorder = np.argsort(test_idx)
-        tx = tx[reorder]
-        ty = ty[reorder]
-
-    x = np.concatenate([allx, tx], axis=0)
-    y_onehot = np.concatenate([ally, ty], axis=0)
-    x[test_idx_sorted] = x[np.arange(allx.shape[0], x.shape[0])]
-    y_onehot[test_idx_sorted] = y_onehot[np.arange(ally.shape[0], y_onehot.shape[0])]
+    # Place each tx/ty row directly at its node id: handles Cora's shuffled
+    # test indices and CiteSeer's index gaps (isolated test nodes keep
+    # all-zero features, like PyG's tx extension) in one construction.
+    n = max(int(test_idx.max()) + 1, allx.shape[0] + tx.shape[0])
+    x = np.zeros((n, allx.shape[1]), np.float32)
+    y_onehot = np.zeros((n, ally.shape[1]), np.float32)
+    x[:allx.shape[0]] = allx
+    y_onehot[:ally.shape[0]] = ally
+    x[test_idx] = tx
+    y_onehot[test_idx] = ty
     y = y_onehot.argmax(axis=1).astype(np.int64)
-
-    n = x.shape[0]
     rows, cols = [], []
     for src, nbrs in objs["graph"].items():
         for dst in nbrs:

@@ -123,18 +123,23 @@ def _create_link_prediction_splits(edge_index: np.ndarray, num_nodes: int,
                                    ) -> Dict[str, np.ndarray]:
     """80/10/10 edge split with sampled negatives (ref :126-149).
 
-    Uses ``torch.randperm`` for the edge permutation so that the split is
-    bit-identical to the reference's when run on the same real data.
+    Uses ``torch.randperm`` (when torch is installed) for the edge
+    permutation so that the split is bit-identical to the reference's when run
+    on the same real data; otherwise falls back to a seeded numpy permutation
+    (identical methodology, different stream).
     """
-    import torch  # host-side only, for RNG-stream parity with the reference
-
-    gen = torch.Generator()
-    gen.manual_seed(seed)
     num_edges = edge_index.shape[1]
     num_val_test = int(num_edges * config.VAL_TEST_FRACTION)
     num_val = int(num_val_test * config.VAL_TEST_SPLIT_RATIO)
 
-    perm = torch.randperm(num_edges, generator=gen).numpy()
+    try:
+        import torch  # host-side only, for RNG-stream parity with the reference
+
+        gen = torch.Generator()
+        gen.manual_seed(seed)
+        perm = torch.randperm(num_edges, generator=gen).numpy()
+    except ImportError:
+        perm = np.random.default_rng(seed).permutation(num_edges)
     train_edges = edge_index[:, perm[num_val_test:]]
     val_test_edges = edge_index[:, perm[:num_val_test]]
 

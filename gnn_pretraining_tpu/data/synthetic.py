@@ -12,6 +12,7 @@ instead and this module is never used.
 from __future__ import annotations
 
 import dataclasses
+import zlib
 from typing import Dict, Tuple
 
 import numpy as np
@@ -69,7 +70,7 @@ def generate_tu_dataset(name: str, seed: int = 0, scale: float = 1.0):
     edge_offsets, graph_labels) — the ``parsers.parse_tu_dataset`` contract.
     """
     spec = TU_SPECS[name]
-    rng = np.random.default_rng(seed + hash(name) % (2 ** 31))
+    rng = np.random.default_rng(seed + zlib.crc32(name.encode()))
     g = max(10, int(spec.num_graphs * scale))
 
     num_cont = spec.feat_dim - spec.num_onehot
@@ -115,7 +116,7 @@ def generate_planetoid(name: str, seed: int = 0, scale: float = 1.0):
     """Generate a Planetoid-like citation graph (``parsers.parse_planetoid``
     contract: dict with x, y, edge_index, train/val/test masks)."""
     n0, e0, d, c = PLANETOID_SPECS[name]
-    rng = np.random.default_rng(seed + hash(name) % (2 ** 31))
+    rng = np.random.default_rng(seed + zlib.crc32(name.encode()))
     n = max(60, int(n0 * scale))
     e_und = max(n, int(e0 * scale))
 

@@ -182,16 +182,21 @@ def make_gc_steps(model, cfg, optimizer, labels):
 def make_nc_steps(model, cfg, optimizer, labels, graph, adj):
     c = config.NUM_CLASSES[cfg.domain_name]
     binary = c == 2
+    # Device-resident once; passed as jit ARGUMENTS below so the large arrays
+    # (features, dense adjacency) are not baked into the executables
+    # (CLAUDE.md: closed-over constants ship with the remote compile).
+    graph_dev = jax.device_put(graph)
+    adj_dev = jax.device_put(adj)
 
-    def forward(params, stats, train, rng):
+    def forward(params, stats, g, a, train, rng):
         variables = {"params": params, "batch_stats": stats}
-        kwargs = dict(adj=adj, senders=graph.senders, receivers=graph.receivers,
-                      edge_mask=graph.edge_mask)
+        kwargs = dict(adj=a, senders=g.senders, receivers=g.receivers,
+                      edge_mask=g.edge_mask)
         if train:
-            return model.apply(variables, graph.x, graph.node_mask, True,
+            return model.apply(variables, g.x, g.node_mask, True,
                                mutable=["batch_stats"], rngs={"dropout": rng},
                                **kwargs)
-        return model.apply(variables, graph.x, graph.node_mask, False,
+        return model.apply(variables, g.x, g.node_mask, False,
                            **kwargs), {"batch_stats": stats}
 
     def loss_from_logits(logits, node_idx, y):
@@ -207,9 +212,9 @@ def make_nc_steps(model, cfg, optimizer, labels, graph, adj):
         return jnp.mean(per), sel
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: FTState, node_idx, y, rng):
+    def _train(state: FTState, node_idx, y, rng, g, a):
         def loss_fn(p):
-            logits, mut = forward(p, state.batch_stats, True, rng)
+            logits, mut = forward(p, state.batch_stats, g, a, True, rng)
             loss, sel = loss_from_logits(logits, node_idx, y)
             return loss, (sel, mut["batch_stats"])
 
@@ -224,12 +229,18 @@ def make_nc_steps(model, cfg, optimizer, labels, graph, adj):
         return FTState(params, stats, opt_state), loss, y, preds, probs, gnorm
 
     @jax.jit
-    def eval_step(state: FTState, node_idx, y):
-        logits, _ = forward(state.params, state.batch_stats, False, None)
+    def _eval(state: FTState, node_idx, y, g, a):
+        logits, _ = forward(state.params, state.batch_stats, g, a, False, None)
         loss, sel = loss_from_logits(logits, node_idx, y)
         probs = jax.nn.softmax(sel, axis=-1)
         preds = jnp.argmax(sel, axis=-1)
         return loss, y, preds, probs
+
+    def train_step(state, node_idx, y, rng):
+        return _train(state, node_idx, y, rng, graph_dev, adj_dev)
+
+    def eval_step(state, node_idx, y):
+        return _eval(state, node_idx, y, graph_dev, adj_dev)
 
     return train_step, eval_step
 
@@ -243,41 +254,48 @@ def _bce_probs(probs, y, mask):
 
 def make_lp_steps(model, cfg, optimizer, labels, graph, adj_train,
                   forbidden, num_hard):
-    def embed(params, stats, train, rng):
+    # Device-resident once; threaded through as jit arguments (see
+    # make_nc_steps) — adjacency, features and the N×N forbidden mask are too
+    # large to bake into executables.
+    graph_dev = jax.device_put(graph)
+    adj_dev = jax.device_put(adj_train)
+    forbidden_dev = jax.device_put(forbidden)
+
+    def embed(params, stats, g, a, train, rng):
         variables = {"params": params, "batch_stats": stats}
-        kwargs = dict(adj=adj_train, senders=graph.senders,
-                      receivers=graph.receivers, edge_mask=graph.edge_mask)
+        kwargs = dict(adj=a, senders=g.senders,
+                      receivers=g.receivers, edge_mask=g.edge_mask)
         if train:
-            out, mut = model.apply(variables, graph.x, graph.node_mask, True,
+            out, mut = model.apply(variables, g.x, g.node_mask, True,
                                    mutable=["batch_stats"],
                                    rngs={"dropout": rng},
                                    method=FinetuneGNN.embed, **kwargs)
             return out, mut["batch_stats"]
-        out = model.apply(variables, graph.x, graph.node_mask, False,
+        out = model.apply(variables, g.x, g.node_mask, False,
                           method=FinetuneGNN.embed, **kwargs)
         return out, stats
 
-    def score(params, stats, s, r, train, rng):
+    def score(params, stats, g, a, s, r, train, rng):
         variables = {"params": params, "batch_stats": stats}
-        kwargs = dict(adj=adj_train, senders=graph.senders,
-                      receivers=graph.receivers, edge_mask=graph.edge_mask,
+        kwargs = dict(adj=a, senders=g.senders,
+                      receivers=g.receivers, edge_mask=g.edge_mask,
                       score_senders=s, score_receivers=r)
         if train:
-            return model.apply(variables, graph.x, graph.node_mask, True,
+            return model.apply(variables, g.x, g.node_mask, True,
                                mutable=["batch_stats"], rngs={"dropout": rng},
                                **kwargs)
-        return model.apply(variables, graph.x, graph.node_mask, False,
+        return model.apply(variables, g.x, g.node_mask, False,
                            **kwargs), {"batch_stats": stats}
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: FTState, pos_edges, edge_mask, rng):
+    def _train(state: FTState, pos_edges, edge_mask, rng, g, a, forb):
         b = pos_edges.shape[1]
         k_emb, k_mine, k_drop = jax.random.split(rng, 3)
         # No-grad embedding in train mode: BN stats update, dropout active
         # (reference finetune.py:186-188 under model.train()).
-        emb, stats = embed(state.params, state.batch_stats, True, k_emb)
+        emb, stats = embed(state.params, state.batch_stats, g, a, True, k_emb)
         emb = jax.lax.stop_gradient(emb)
-        neg_s, neg_r = mine_hard_negatives(emb, forbidden, k_mine,
+        neg_s, neg_r = mine_hard_negatives(emb, forb, k_mine,
                                            num_negatives=b, num_hard=num_hard)
         s = jnp.concatenate([pos_edges[0], neg_s])
         r = jnp.concatenate([pos_edges[1], neg_r])
@@ -285,7 +303,7 @@ def make_lp_steps(model, cfg, optimizer, labels, graph, adj_train,
         mask = jnp.concatenate([edge_mask, edge_mask])
 
         def loss_fn(p):
-            probs, mut = score(p, stats, s, r, True, k_drop)
+            probs, mut = score(p, stats, g, a, s, r, True, k_drop)
             loss = _bce_probs(probs, y, mask)
             return loss, (probs, mut["batch_stats"])
 
@@ -301,13 +319,20 @@ def make_lp_steps(model, cfg, optimizer, labels, graph, adj_train,
                 y.astype(jnp.int32), preds, probs2, mask, gnorm)
 
     @jax.jit
-    def eval_step(state: FTState, edges, y, edge_mask):
-        probs, _ = score(state.params, state.batch_stats, edges[0], edges[1],
-                         False, None)
+    def _eval(state: FTState, edges, y, edge_mask, g, a):
+        probs, _ = score(state.params, state.batch_stats, g, a, edges[0],
+                         edges[1], False, None)
         loss = _bce_probs(probs, y, edge_mask)
         preds = (probs > 0.5).astype(jnp.int32)
         probs2 = jnp.stack([1.0 - probs, probs], axis=1)
         return loss, y.astype(jnp.int32), preds, probs2
+
+    def train_step(state, pos_edges, edge_mask, rng):
+        return _train(state, pos_edges, edge_mask, rng, graph_dev, adj_dev,
+                      forbidden_dev)
+
+    def eval_step(state, edges, y, edge_mask):
+        return _eval(state, edges, y, edge_mask, graph_dev, adj_dev)
 
     return train_step, eval_step
 

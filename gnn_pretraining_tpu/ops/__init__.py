@@ -19,6 +19,5 @@ from gnn_pretraining_tpu.ops.sddmm import (
 )
 from gnn_pretraining_tpu.ops.sampling import (
     batched_negative_sampling,
-    per_graph_topk_mask,
     masked_randperm_select,
 )

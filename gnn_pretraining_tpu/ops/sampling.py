@@ -123,11 +123,3 @@ def batched_negative_sampling(key: jax.Array,
     u = jnp.where(edge_mask.astype(bool), u, g_start)
     v = jnp.where(edge_mask.astype(bool), v, g_start)
     return u, v
-
-
-def per_graph_topk_mask(scores: jnp.ndarray, valid: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Boolean mask of the global top-``k`` valid entries of ``scores``."""
-    flat = jnp.where(valid.reshape(-1), scores.reshape(-1), -jnp.inf)
-    _, idx = jax.lax.top_k(flat, k)
-    mask = jnp.zeros(flat.shape[0], bool).at[idx].set(True)
-    return (mask & valid.reshape(-1)).reshape(scores.shape)

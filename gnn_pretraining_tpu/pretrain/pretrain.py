@@ -200,8 +200,9 @@ def make_train_step(model: PretrainableGNN, cfg: config.PretrainConfig,
         for t, v in all_losses.items():
             metrics[f"train/loss/{t}"] = v
         for d in cfg.pretrain_domains:
-            metrics[f"train/loss/{d}"] = float(
-                sum(float(per_domain_task[t][d]) for t in per_domain_task))
+            # device-side sum; fetched later in the bundled metric flush
+            metrics[f"train/loss/{d}"] = sum(
+                per_domain_task[t][d] for t in per_domain_task)
         if has_da:
             # Reference logs λ after stepping the scheduler (pretrain.py:173).
             metrics["train/domain_adv/lambda"] = grl_lambda_at(

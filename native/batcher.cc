@@ -5,7 +5,7 @@
 // dozen numpy concatenate/pad calls (data/batch.py build_batch). This CPython
 // extension does the same assembly in one fused pass over preallocated
 // outputs. Semantics are identical to the Python builder (parity-tested in
-// tests/test_native_batcher.py); data/batch.py falls back to numpy when the
+// tests/test_data.py); data/batch.py falls back to numpy when the
 // extension is not built (scripts/build_native.sh).
 
 #define PY_SSIZE_T_CLEAN
@@ -73,8 +73,31 @@ PyObject* build_batch(PyObject* /*self*/, PyObject* args) {
   const int64_t* idx = static_cast<const int64_t*>(PyArray_DATA(indices));
 
   if (g > g_pad) {
-    PyErr_Format(PyExc_ValueError, "%ld graphs > g_pad=%ld", (long)g, n_pad);
+    PyErr_Format(PyExc_ValueError, "%ld graphs > g_pad=%ld", (long)g, g_pad);
     goto fail;
+  }
+
+  // Validate everything BEFORE allocating outputs, so no failure path can
+  // leak freshly-created arrays.
+  {
+    int64_t total_n = 0, total_e = 0;
+    for (npy_intp slot = 0; slot < g; ++slot) {
+      const int64_t gi = idx[slot];
+      if (gi < 0 || gi >= num_graphs_total) {
+        PyErr_Format(PyExc_IndexError, "graph index %lld out of range",
+                     (long long)gi);
+        goto fail;
+      }
+      total_n += noff[gi + 1] - noff[gi];
+      total_e += eoff[gi + 1] - eoff[gi];
+    }
+    if (total_n > n_pad || total_e > e_pad) {
+      PyErr_Format(PyExc_ValueError,
+                   "batch (%lld nodes, %lld edges) exceeds padding "
+                   "(n_pad=%ld, e_pad=%ld)",
+                   (long long)total_n, (long long)total_e, n_pad, e_pad);
+      goto fail;
+    }
   }
 
   {
@@ -120,21 +143,10 @@ PyObject* build_batch(PyObject* /*self*/, PyObject* args) {
     int64_t node_cursor = 0;
     int64_t edge_cursor = 0;
     for (npy_intp slot = 0; slot < g; ++slot) {
-      const int64_t gi = idx[slot];
-      if (gi < 0 || gi >= num_graphs_total) {
-        PyErr_Format(PyExc_IndexError, "graph index %lld out of range",
-                     (long long)gi);
-        goto fail;
-      }
+      const int64_t gi = idx[slot];  // validated above
       const int64_t n0 = noff[gi], n1 = noff[gi + 1];
       const int64_t e0 = eoff[gi], e1 = eoff[gi + 1];
       const int64_t nn = n1 - n0, ne = e1 - e0;
-      if (node_cursor + nn > n_pad || edge_cursor + ne > e_pad) {
-        PyErr_Format(PyExc_ValueError,
-                     "batch exceeds padding (n_pad=%ld, e_pad=%ld)",
-                     n_pad, e_pad);
-        goto fail;
-      }
       std::memcpy(xo + node_cursor * d, nf + n0 * d, sizeof(float) * nn * d);
       for (int64_t e = 0; e < ne; ++e) {
         so[edge_cursor + e] = static_cast<int32_t>(ei[e0 + e] + node_cursor);
