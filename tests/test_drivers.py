@@ -1,0 +1,71 @@
+"""Sweep-driver and sampler-bound tests."""
+
+import importlib.util
+import pathlib
+import sys
+import types
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _load(module_name, path):
+    spec = importlib.util.spec_from_file_location(module_name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+run_pretrain = _load("rp", ROOT / "run_pretrain.py")
+run_finetune = _load("rf", ROOT / "run_finetune.py")
+
+
+class TestGridSharding:
+    def test_round_robin_partition_covers_grid(self):
+        grid = [(s, seed) for s in "abcd" for seed in (1, 2, 3)]
+        args = types.SimpleNamespace(num_shards=3, shard_index=None)
+        parts = []
+        for i in range(3):
+            args.shard_index = i
+            parts.append(run_pretrain.shard_grid(grid, args))
+        flat = [c for p in parts for c in p]
+        assert sorted(flat) == sorted(grid)          # complete
+        assert len(set(map(tuple, flat))) == len(grid)  # disjoint
+        sizes = [len(p) for p in parts]
+        assert max(sizes) - min(sizes) <= 1          # balanced
+
+    def test_single_shard_is_identity(self):
+        grid = [(d, s) for d in "ab" for s in (1,)]
+        args = types.SimpleNamespace(num_shards=1, shard_index=0)
+        assert run_finetune.shard_grid(grid, args) == grid
+
+    def test_full_finetune_grid_size(self):
+        assert len(run_finetune.full_grid()) == 6 * 2 * 9 * 3  # 324 cells
+
+
+class TestSamplerBounds:
+    def test_batches_never_exceed_pads(self):
+        from gnn_pretraining_tpu.data.batch import GraphStore
+        from gnn_pretraining_tpu.data.loaders import BalancedMultiDomainSampler
+        from gnn_pretraining_tpu.data.synthetic import generate_tu_dataset
+
+        # PROTEINS-like with a giant outlier graph to stress the quantile pads
+        x, ei, noff, eoff, y = generate_tu_dataset("PROTEINS", seed=0, scale=0.2)
+        store = GraphStore(name="P", node_features=x, edge_index=ei,
+                           node_offsets=noff, edge_offsets=eoff, y=y,
+                           splits={"train": np.arange(len(noff) - 1)},
+                           graph_properties=np.zeros((len(noff) - 1, 12),
+                                                     np.float32))
+        sampler = BalancedMultiDomainSampler({"P": store},
+                                             np.random.default_rng(0))
+        n_pad, e_pad = sampler.pads["P"]
+        # Quantile pads are tighter than the worst case for skewed sizes...
+        worst = int(np.diff(noff).max()) * sampler.samples_per_domain
+        assert n_pad <= worst
+        # ...and every sampled batch fits.
+        for _ in range(30):
+            b = sampler.sample_step()["P"]
+            assert b.num_nodes == n_pad and b.num_edges == e_pad
+            assert np.asarray(b.node_mask).sum() <= n_pad
+            assert int(np.asarray(b.graph_mask).sum()) == sampler.samples_per_domain
