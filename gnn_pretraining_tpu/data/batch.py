@@ -86,6 +86,10 @@ class GraphStore:
     splits: Dict[str, np.ndarray]
     graph_properties: Optional[np.ndarray] = None  # [G, 12] f32
     node_y: Optional[np.ndarray] = None            # [sumN] node labels (Planetoid)
+    # Provenance recorded by data/setup.py: {"source": "raw"|"synthetic",
+    # "scale": "<float>"}. Run summaries embed this so completion markers can
+    # distinguish a production cell from a smoke run on stand-in data.
+    meta: Dict[str, str] = dataclasses.field(default_factory=dict)
 
     @property
     def num_graphs(self) -> int:
@@ -125,13 +129,18 @@ class GraphStore:
             arrays["node_y"] = self.node_y
         for k, v in self.splits.items():
             arrays[f"split__{k}"] = v
+        for k, v in self.meta.items():
+            arrays[f"meta__{k}"] = np.array(str(v))
         np.savez_compressed(path, name=np.array(self.name), **arrays)
 
     @classmethod
     def load(cls, path) -> "GraphStore":
         z = np.load(path, allow_pickle=False)
         splits = {k[len("split__"):]: z[k] for k in z.files if k.startswith("split__")}
+        meta = {k[len("meta__"):]: str(z[k]) for k in z.files
+                if k.startswith("meta__")}
         return cls(
+            meta=meta,
             name=str(z["name"]),
             node_features=z["node_features"],
             edge_index=z["edge_index"],

@@ -115,7 +115,10 @@ def process_tu_dataset(name: str, raw_dir: Path, synthetic_scale: float = 1.0,
           f"{ {k: len(v) for k, v in splits.items()} }")
     return GraphStore(name=name, node_features=x, edge_index=ei,
                       node_offsets=n_off, edge_offsets=e_off, y=y,
-                      splits=splits, graph_properties=props)
+                      splits=splits, graph_properties=props,
+                      meta={"source": source,
+                            "scale": str(synthetic_scale if source == "synthetic"
+                                         else 1.0)})
 
 
 def _create_link_prediction_splits(edge_index: np.ndarray, num_nodes: int,
@@ -189,16 +192,18 @@ def process_planetoid_dataset(name: str, raw_dir: Path, synthetic_scale: float =
     nc_splits = {"train": np.where(d["train_mask"])[0].astype(np.int64),
                  "val": np.where(d["val_mask"])[0].astype(np.int64),
                  "test": np.where(d["test_mask"])[0].astype(np.int64)}
+    meta = {"source": source,
+            "scale": str(synthetic_scale if source == "synthetic" else 1.0)}
     nc_store = GraphStore(name=f"{name}_NC", node_features=d["x"],
                           edge_index=d["edge_index"], node_offsets=n_off,
                           edge_offsets=e_off, y=d["y"], splits=nc_splits,
-                          node_y=d["y"])
+                          node_y=d["y"], meta=meta)
 
     lp_splits = _create_link_prediction_splits(np.asarray(d["edge_index"], np.int64), n)
     lp_store = GraphStore(name=f"{name}_LP", node_features=d["x"],
                           edge_index=d["edge_index"], node_offsets=n_off,
                           edge_offsets=e_off, y=d["y"], splits=lp_splits,
-                          node_y=d["y"])
+                          node_y=d["y"], meta=meta)
 
     print(f"  {name}: {n} nodes, {e} directed edges ({source})")
     return {f"{name}_NC": nc_store, f"{name}_LP": lp_store}

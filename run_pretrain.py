@@ -32,9 +32,20 @@ def shard_grid(grid, args):
     return grid[i::n] if n > 1 else grid
 
 
-def cell_completed(run_name: str) -> bool:
-    return (config.METRICS_DIR / config.PRETRAIN_PROJECT_NAME
-            / f"{run_name}.summary.json").exists()
+def cell_completed(cfg, args) -> bool:
+    """Fidelity-aware completion check: the summary must exist, be complete,
+    and match the requested epochs/aggregation/data provenance (a smoke run
+    can never mask a production cell — VERDICT r1 weak #1)."""
+    from gnn_pretraining_tpu.utils.fidelity import (
+        cell_completed as _check,
+        fidelity_block,
+    )
+
+    path = (config.METRICS_DIR / config.PRETRAIN_PROJECT_NAME
+            / f"{cfg.run_name}.summary.json")
+    expected = fidelity_block(args.epochs, cfg.seed, args.aggregation,
+                              None, cfg.pretrain_domains)
+    return _check(path, expected)
 
 
 def run_sweep(args) -> None:
@@ -45,7 +56,7 @@ def run_sweep(args) -> None:
     failed = []
     for i, (exp, seed) in enumerate(grid):
         cfg = config.PretrainConfig(exp_name=exp, seed=seed)
-        if args.resume and cell_completed(cfg.run_name):
+        if args.resume and cell_completed(cfg, args):
             print(f"[{i+1}/{len(grid)}] {cfg.run_name}: already complete, skipping")
             continue
         t0 = time.time()

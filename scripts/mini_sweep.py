@@ -37,6 +37,9 @@ def main() -> None:
                    default=list(config.FINETUNE_DOMAINS))
     p.add_argument("--skip_pretrain", action="store_true",
                    help="reuse existing pretrain checkpoints")
+    p.add_argument("--out_root", type=str, default="outputs/mini_sweep",
+                   help="artifact store for this sweep; keeps reduced-epoch "
+                        "runs out of the production outputs/ tree")
     args = p.parse_args()
 
     setup_jax()
@@ -47,7 +50,8 @@ def main() -> None:
             cfg = config.PretrainConfig(exp_name=scheme, seed=seed)
             t = time.time()
             res = pretrain(cfg, aggregation=args.aggregation,
-                           epochs=args.pretrain_epochs, use_wandb=False)
+                           epochs=args.pretrain_epochs, use_wandb=False,
+                           out_root=args.out_root)
             print(f"[pretrain] {cfg.run_name}: best={res['best_val_total']:.4f}"
                   f" ({time.time()-t:.0f}s)", flush=True)
 
@@ -63,13 +67,16 @@ def main() -> None:
                     t = time.time()
                     res = finetune(cfg, aggregation=args.aggregation,
                                    epochs=args.finetune_epochs,
-                                   use_wandb=False)
+                                   use_wandb=False, out_root=args.out_root)
                     key = ("test/auc" if cfg.task_type == "link_prediction"
                            else "test/accuracy")
                     print(f"[finetune] {cfg.run_name}: {key.split('/')[1]}="
                           f"{res[key]:.4f} ({time.time()-t:.0f}s)", flush=True)
 
-    subprocess.run([sys.executable, "analysis/data_collection.py"], check=True)
+    subprocess.run(
+        [sys.executable, "analysis/data_collection.py", "--metrics_dir",
+         str(Path(args.out_root) / "metrics" / config.FINETUNE_PROJECT_NAME)],
+        check=True)
     subprocess.run([sys.executable, "analysis/data_analysis.py"], check=True)
     print(f"mini sweep done in {time.time()-t0:.0f}s")
 
