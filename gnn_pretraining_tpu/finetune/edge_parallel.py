@@ -130,7 +130,8 @@ def make_lp_steps_edge_parallel(model: FinetuneGNN, cfg, optimizer, labels,
                                 forbidden, num_hard):
     """Edge-partitioned variants of make_lp_steps: message passing over the
     sharded train edges; mining and scoring replicated."""
-    from gnn_pretraining_tpu.finetune.finetune import FTState, _bce_probs
+    from gnn_pretraining_tpu.finetune.finetune import FTState
+    from gnn_pretraining_tpu.utils.losses import masked_bce_with_logits_mean
 
     s_sh, r_sh, m_sh = shard_edges(np.asarray(graph.senders),
                                    np.asarray(graph.receivers),
@@ -153,9 +154,11 @@ def make_lp_steps_edge_parallel(model: FinetuneGNN, cfg, optimizer, labels,
         return out, stats
 
     def score(params, stats, s_loc, r_loc, m_loc, ss, rr, train, rng):
+        """Returns LP *logits* (loss uses stable BCE-with-logits)."""
         variables = {"params": params, "batch_stats": stats}
         kwargs = dict(senders=s_loc, receivers=r_loc, edge_mask=m_loc,
-                      score_senders=ss, score_receivers=rr)
+                      score_senders=ss, score_receivers=rr,
+                      return_logits=True)
         if train:
             return model.apply(variables, x, node_mask, True,
                                mutable=["batch_stats"], rngs={"dropout": rng},
@@ -177,10 +180,10 @@ def make_lp_steps_edge_parallel(model: FinetuneGNN, cfg, optimizer, labels,
         mask = jnp.concatenate([edge_mask_b, edge_mask_b])
 
         def loss_fn(p):
-            probs, mut = score(p, stats, s_loc, r_loc, m_loc, ss, rr, True,
-                               k_drop)
-            loss = _bce_probs(probs, y, mask)
-            return loss, (probs, mut["batch_stats"])
+            z, mut = score(p, stats, s_loc, r_loc, m_loc, ss, rr, True,
+                           k_drop)
+            loss = masked_bce_with_logits_mean(z, y, mask)
+            return loss, (jax.nn.sigmoid(z), mut["batch_stats"])
 
         (loss, (probs, stats2)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -192,9 +195,10 @@ def make_lp_steps_edge_parallel(model: FinetuneGNN, cfg, optimizer, labels,
                 y.astype(jnp.int32), preds, probs2, mask, gnorm)
 
     def _eval_local(state, edges, y, edge_mask_b, s_loc, r_loc, m_loc):
-        probs, _ = score(state.params, state.batch_stats, s_loc, r_loc, m_loc,
-                         edges[0], edges[1], False, None)
-        loss = _bce_probs(probs, y, edge_mask_b)
+        z, _ = score(state.params, state.batch_stats, s_loc, r_loc, m_loc,
+                     edges[0], edges[1], False, None)
+        probs = jax.nn.sigmoid(z)
+        loss = masked_bce_with_logits_mean(z, y, edge_mask_b)
         preds = (probs > 0.5).astype(jnp.int32)
         probs2 = jnp.stack([1.0 - probs, probs], axis=1)
         return loss, y.astype(jnp.int32), preds, probs2

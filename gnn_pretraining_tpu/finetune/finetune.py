@@ -49,6 +49,7 @@ from gnn_pretraining_tpu.models.finetune_model import (
 )
 from gnn_pretraining_tpu.ops.spmm import build_dense_adjacency
 from gnn_pretraining_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from gnn_pretraining_tpu.utils.losses import masked_bce_with_logits_mean
 from gnn_pretraining_tpu.utils.logging import MetricLogger
 
 
@@ -245,13 +246,6 @@ def make_nc_steps(model, cfg, optimizer, labels, graph, adj):
     return train_step, eval_step
 
 
-def _bce_probs(probs, y, mask):
-    logp = jnp.maximum(jnp.log(probs), -100.0)
-    log1mp = jnp.maximum(jnp.log1p(-probs), -100.0)
-    per = -(y * logp + (1.0 - y) * log1mp)
-    return jnp.sum(per * mask) / jnp.maximum(jnp.sum(mask), 1.0)
-
-
 def make_lp_steps(model, cfg, optimizer, labels, graph, adj_train,
                   forbidden, num_hard):
     # Device-resident once; threaded through as jit arguments (see
@@ -276,10 +270,11 @@ def make_lp_steps(model, cfg, optimizer, labels, graph, adj_train,
         return out, stats
 
     def score(params, stats, g, a, s, r, train, rng):
+        """Returns LP *logits* (loss uses the stable BCE-with-logits form)."""
         variables = {"params": params, "batch_stats": stats}
         kwargs = dict(adj=a, senders=g.senders,
                       receivers=g.receivers, edge_mask=g.edge_mask,
-                      score_senders=s, score_receivers=r)
+                      score_senders=s, score_receivers=r, return_logits=True)
         if train:
             return model.apply(variables, g.x, g.node_mask, True,
                                mutable=["batch_stats"], rngs={"dropout": rng},
@@ -303,9 +298,9 @@ def make_lp_steps(model, cfg, optimizer, labels, graph, adj_train,
         mask = jnp.concatenate([edge_mask, edge_mask])
 
         def loss_fn(p):
-            probs, mut = score(p, stats, g, a, s, r, True, k_drop)
-            loss = _bce_probs(probs, y, mask)
-            return loss, (probs, mut["batch_stats"])
+            z, mut = score(p, stats, g, a, s, r, True, k_drop)
+            loss = masked_bce_with_logits_mean(z, y, mask)
+            return loss, (jax.nn.sigmoid(z), mut["batch_stats"])
 
         (loss, (probs, stats2)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -320,9 +315,10 @@ def make_lp_steps(model, cfg, optimizer, labels, graph, adj_train,
 
     @jax.jit
     def _eval(state: FTState, edges, y, edge_mask, g, a):
-        probs, _ = score(state.params, state.batch_stats, g, a, edges[0],
-                         edges[1], False, None)
-        loss = _bce_probs(probs, y, edge_mask)
+        z, _ = score(state.params, state.batch_stats, g, a, edges[0],
+                     edges[1], False, None)
+        probs = jax.nn.sigmoid(z)
+        loss = masked_bce_with_logits_mean(z, y, edge_mask)
         preds = (probs > 0.5).astype(jnp.int32)
         probs2 = jnp.stack([1.0 - probs, probs], axis=1)
         return loss, y.astype(jnp.int32), preds, probs2
@@ -343,6 +339,23 @@ def make_lp_steps(model, cfg, optimizer, labels, graph, adj_train,
 
 
 def _init_finetune_model(cfg, data, aggregation, seed):
+    """Init on the host CPU backend when the default device is a remote TPU
+    (init is pure param math; relay compiles would cost tens of seconds), then
+    ship the tree to the device in one transfer."""
+    import contextlib
+
+    ship = jax.default_backend() != "cpu"
+    ctx = (jax.default_device(jax.devices("cpu")[0]) if ship
+           else contextlib.nullcontext())
+    with ctx:
+        model, variables = _init_finetune_model_impl(cfg, data, aggregation,
+                                                     seed)
+    if ship:
+        variables = jax.device_put(variables, jax.devices()[0])
+    return model, variables
+
+
+def _init_finetune_model_impl(cfg, data, aggregation, seed):
     model = FinetuneGNN(domain_name=cfg.domain_name, aggregation=aggregation)
     rngs = {"params": jax.random.PRNGKey(seed),
             "dropout": jax.random.PRNGKey(seed + 1)}
@@ -376,7 +389,7 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
              epochs: Optional[int] = None,
              edge_parallel: bool = False,
              data_parallel: bool = False,
-             out_root=None) -> Dict[str, float]:
+             out_root=None, fused: bool = True) -> Dict[str, float]:
     from pathlib import Path
 
     training_start = time.time()
@@ -420,6 +433,25 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
                     batch_stats=variables["batch_stats"],
                     opt_state=optimizer.init(variables["params"]))
     total_params, trainable_params = param_counts(variables["params"], labels)
+
+    # Default single-chip path: scan-fused epoch runner (one dispatch per
+    # E-epoch chunk — see finetune/runners.py). The per-step dispatch paths
+    # below remain for the data-/edge-parallel modes.
+    if fused and not (edge_parallel or data_parallel):
+        from gnn_pretraining_tpu.finetune.runners import run_finetune_fused
+
+        ckpt_path = finetune_out_dir / f"model_{cfg.run_name}.msgpack"
+        save_checkpoint(ckpt_path, state.params, state.batch_stats, 0, {})
+        test_metrics = run_finetune_fused(
+            cfg, data, model, (state.params, state.batch_stats,
+                               state.opt_state),
+            optimizer, labels, lrs, aggregation, epochs, patience, logger,
+            ckpt_path, training_start, total_params, trainable_params)
+        from gnn_pretraining_tpu.utils.fidelity import fidelity_block
+
+        logger.finish(extra=fidelity_block(epochs, cfg.seed, aggregation,
+                                           processed_dir, (cfg.domain_name,)))
+        return test_metrics
 
     # Build the per-task-type steps + batch iterators.
     if cfg.task_type == "graph_classification":

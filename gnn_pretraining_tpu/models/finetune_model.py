@@ -57,7 +57,8 @@ class FinetuneGNN(nn.Module):
     def __call__(self, x, node_mask, train: bool, *, adj=None, senders=None,
                  receivers=None, edge_mask=None, node_graph=None,
                  graph_mask=None, num_graphs: Optional[int] = None,
-                 score_senders=None, score_receivers=None):
+                 score_senders=None, score_receivers=None,
+                 return_logits: bool = False):
         h = self.embed(x, node_mask, train, adj=adj, senders=senders,
                        receivers=receivers, edge_mask=edge_mask)
         task_type = config.TASK_TYPES[self.domain_name]
@@ -67,7 +68,8 @@ class FinetuneGNN(nn.Module):
         if task_type == "node_classification":
             return self.classification_head(h, train)
         if task_type == "link_prediction":
-            return self.classification_head(h, score_senders, score_receivers, train)
+            return self.classification_head(h, score_senders, score_receivers,
+                                            train, return_logits)
         raise ValueError(task_type)
 
 

@@ -55,17 +55,26 @@ class MLPHead(nn.Module):
 
 class MLPLinkPredictor(nn.Module):
     """Edge scorer: [h_u+h_v ; h_u⊙h_v ; |h_u−h_v|] → MLP[768→256→1] → sigmoid
-    (reference: heads.py:53-67)."""
+    (reference: heads.py:53-67).
+
+    ``return_logits=True`` skips the sigmoid so losses can use the numerically
+    stable BCE-with-logits form: the fused sigmoid+BCE gradient (p − y) never
+    overflows, whereas BCE on probabilities has dL/dp = −1/p, which overflows
+    f32 once the sigmoid saturates (observed as NaN params on TPU, where bf16
+    matmul noise pushes logits past the saturation point sooner than f32)."""
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, senders: jnp.ndarray,
-                 receivers: jnp.ndarray, train: bool) -> jnp.ndarray:
+                 receivers: jnp.ndarray, train: bool,
+                 return_logits: bool = False) -> jnp.ndarray:
         h_src = h[senders]
         h_dst = h[receivers]
         feats = jnp.concatenate(
             [h_src + h_dst, h_src * h_dst, jnp.abs(h_src - h_dst)], axis=1)
         logits = MLPHead((3 * config.GNN_HIDDEN_DIM, config.GNN_HIDDEN_DIM, 1),
                          name="predictor")(feats, train)
+        if return_logits:
+            return logits[:, 0]
         return jax.nn.sigmoid(logits[:, 0])
 
 

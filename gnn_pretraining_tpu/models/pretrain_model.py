@@ -93,8 +93,10 @@ class PretrainableGNN(nn.Module):
     def nfm_head(self, h, domain: str, train: bool):
         return self.heads_node_feat_mask[domain](h, train)
 
-    def link_pred_head(self, h, senders, receivers, train: bool):
-        return self.heads_link_pred(h, senders, receivers, train)
+    def link_pred_head(self, h, senders, receivers, train: bool,
+                       return_logits: bool = False):
+        return self.heads_link_pred(h, senders, receivers, train,
+                                    return_logits)
 
     def node_contrast_head(self, z, domain: str, train: bool):
         return self.heads_node_contrast[domain](z, train)

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from gnn_pretraining_tpu import config
+from gnn_pretraining_tpu.utils.losses import bce_with_logits
 from gnn_pretraining_tpu.data.batch import GraphBatch
 from gnn_pretraining_tpu.data.properties import GRAPH_PROPERTY_DIM
 from gnn_pretraining_tpu.models.pretrain_model import PretrainableGNN
@@ -48,7 +49,6 @@ from gnn_pretraining_tpu.ops.spmm import build_dense_adjacency
 from gnn_pretraining_tpu.pretrain.augmentations import create_two_views
 
 H = config.GNN_HIDDEN_DIM
-_LOG_CLAMP = -100.0  # torch.binary_cross_entropy clamps log terms at -100
 
 
 class TaskContext(NamedTuple):
@@ -200,11 +200,12 @@ def link_pred_loss(model, params, stats, domain_batches, key, ctx):
                                   jnp.zeros(batch.num_edges)])
         mask = jnp.concatenate([batch.edge_mask, batch.edge_mask])
 
-        probs = _head(model, params, PretrainableGNN.link_pred_head,
-                      (h, senders, receivers, ctx.train), k_head, ctx.train)
-        log_p = jnp.maximum(jnp.log(probs), _LOG_CLAMP)
-        log_1mp = jnp.maximum(jnp.log1p(-probs), _LOG_CLAMP)
-        bce = -(labels * log_p + (1.0 - labels) * log_1mp) * mask
+        # Logits + stable fused BCE (value matches torch's clamped
+        # BCE-on-probs wherever |z| <= 100; gradient never overflows --
+        # see utils/losses.py).
+        z = _head(model, params, PretrainableGNN.link_pred_head,
+                  (h, senders, receivers, ctx.train, True), k_head, ctx.train)
+        bce = bce_with_logits(z, labels) * mask
         loss_sum = _preduce(jnp.sum(bce), ctx.axis_name)
         size = _preduce(jnp.sum(mask), ctx.axis_name)
         total_loss += loss_sum

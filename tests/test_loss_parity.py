@@ -7,26 +7,41 @@ import torch
 import torch.nn.functional as F
 
 from gnn_pretraining_tpu.models.heads import MLPLinkPredictor
-from gnn_pretraining_tpu.pretrain.tasks import _LOG_CLAMP
+from gnn_pretraining_tpu.utils.losses import (
+    bce_with_logits,
+    masked_bce_with_logits_mean,
+)
 
 
 class TestBCEParity:
-    def test_clamped_bce_matches_torch(self):
-        # link-pred BCE on sigmoid probs (reference tasks.py:120,
-        # finetune.py:202) — torch clamps log terms at -100.
+    def test_logit_bce_matches_torch_bce_on_probs(self):
+        # The reference computes BCE on sigmoid probs (tasks.py:120,
+        # finetune.py:202); we compute the same loss from logits via the
+        # fused stable form, identical wherever the sigmoid doesn't saturate
+        # f32 (|z| <~ 16 keeps sigmoid exact to f32 eps).
         rng = np.random.default_rng(0)
-        probs = np.concatenate([rng.random(20), [0.0, 1.0, 1e-12, 1 - 1e-7]])
-        labels = (rng.random(len(probs)) < 0.5).astype(np.float32)
+        z = (rng.normal(size=64) * 5).astype(np.float32)
+        labels = (rng.random(len(z)) < 0.5).astype(np.float32)
 
-        t = F.binary_cross_entropy(torch.tensor(probs.astype(np.float32)),
-                                   torch.tensor(labels),
+        probs = torch.sigmoid(torch.tensor(z))
+        t = F.binary_cross_entropy(probs, torch.tensor(labels),
                                    reduction="sum").item()
-        p = jnp.asarray(probs, jnp.float32)
-        y = jnp.asarray(labels)
-        log_p = jnp.maximum(jnp.log(p), _LOG_CLAMP)
-        log_1mp = jnp.maximum(jnp.log1p(-p), _LOG_CLAMP)
-        ours = float(jnp.sum(-(y * log_p + (1 - y) * log_1mp)))
+        ours = float(jnp.sum(bce_with_logits(jnp.asarray(z),
+                                             jnp.asarray(labels))))
         np.testing.assert_allclose(ours, t, rtol=1e-5)
+
+    def test_logit_bce_grads_finite_where_probs_form_overflows(self):
+        # dL/dp = -1/p overflows f32 for p < ~3e-39 (z < -89); the logits
+        # form must stay finite with torch-clamp-consistent zero grads
+        # beyond |z|=100 (this is the TPU NaN fix).
+        z = jnp.asarray([-300.0, -120.0, -90.0, -5.0, 0.0, 5.0, 90.0, 300.0])
+        y = jnp.asarray([1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0])
+        g = jax.grad(lambda zz: masked_bce_with_logits_mean(
+            zz, y, jnp.ones_like(y)))(z)
+        assert bool(jnp.isfinite(g).all())
+        # value caps at 100 per element, matching torch's -100 log clamp
+        per = bce_with_logits(z, y)
+        assert float(jnp.max(per)) <= 100.0
 
     def test_bce_with_logits_matches_torch(self):
         # graph-classification binary loss (reference finetune.py:150-153)
