@@ -18,9 +18,15 @@ semantics preserved:
 
 TPU-first design: instead of looping per parameter tensor (hundreds of tiny
 XLA ops → minutes of compile time), all leaves are raveled into one flat
-vector per task with a static leaf-id segment map. A per-tensor dot product is
-then one ``segment_sum`` over the flat product, and a projection is one fused
-elementwise pass — O(K²) vector ops total, independent of parameter count.
+vector per task. The flat layout pads every leaf to a multiple of a fixed
+block size and views the vector as [num_blocks, block]: a per-tensor dot
+product is then a row-sum over blocks followed by one tiny static
+block→leaf matmul on the MXU, and a projection is one fused elementwise
+pass — O(K²) vector ops total, independent of parameter count, with **no
+scatter**. (A first version used element-level ``jax.ops.segment_sum``;
+TPU lowers that to a serialized scatter-add over every parameter, which at
+~2M parameters cost ~150 ms per step — 30× the cost of computing all the
+task gradients themselves.)
 """
 
 from __future__ import annotations
@@ -43,16 +49,27 @@ def task_participates(top_key: str, task: str) -> bool:
     return True  # gnn_backbone and anything shared
 
 
-def _flatten(tree) -> Tuple[jnp.ndarray, List, List[Tuple[int, ...]]]:
+_BLOCK = 512  # lane-friendly block; every leaf padded to a multiple of it
+
+
+def _padded_flatten(tree) -> Tuple[jnp.ndarray, List[Tuple[int, ...]]]:
+    """Ravel leaves into one vector, each leaf zero-padded to _BLOCK."""
     leaves = jax.tree.leaves(tree)
-    flat = jnp.concatenate([jnp.ravel(l) for l in leaves])
-    shapes = [l.shape for l in leaves]
-    return flat, leaves, shapes
+    parts = []
+    for l in leaves:
+        v = jnp.ravel(l)
+        pad = (-v.size) % _BLOCK
+        if pad:
+            v = jnp.concatenate([v, jnp.zeros((pad,), v.dtype)])
+        parts.append(v)
+    return jnp.concatenate(parts), [l.shape for l in leaves]
 
 
-def _leaf_ids(shapes: List[Tuple[int, ...]]) -> np.ndarray:
-    sizes = [int(np.prod(s)) if s else 1 for s in shapes]
-    return np.repeat(np.arange(len(sizes)), sizes).astype(np.int32)
+def _block_leaf_ids(shapes: List[Tuple[int, ...]]) -> np.ndarray:
+    """Leaf id of each _BLOCK-sized block in the padded flat layout."""
+    nblocks = [(int(np.prod(s) if s else 1) + _BLOCK - 1) // _BLOCK
+               for s in shapes]
+    return np.repeat(np.arange(len(shapes)), nblocks).astype(np.int32)
 
 
 def _leaf_top_keys(tree) -> List[str]:
@@ -77,12 +94,19 @@ def apply_pcgrad(task_grads: Dict[str, dict], params_template, key: jax.Array
     flats = []
     shapes = None
     for t in task_names:
-        f, _, shapes = _flatten(task_grads[t])
+        f, shapes = _padded_flatten(task_grads[t])
         flats.append(f)
-    flat_g = jnp.stack(flats)  # [K, P]
+    flat_g = jnp.stack(flats)                      # [K, P'] blocked layout
 
-    leaf_ids = jnp.asarray(_leaf_ids(shapes))      # [P] static
+    blk_ids = _block_leaf_ids(shapes)              # [B] static, sorted
     num_leaves = len(shapes)
+    num_blocks = len(blk_ids)
+    # Static block→leaf 0/1 matrix: per-leaf reduction = one tiny matmul
+    # ([L, B] @ [B] on the MXU) instead of a serialized scatter-add.
+    blk_onehot = jnp.asarray(
+        (blk_ids[None, :] == np.arange(num_leaves)[:, None])
+        .astype(np.float32))                       # [L, B]
+    blk_ids = jnp.asarray(blk_ids)
     top_keys = _leaf_top_keys(task_grads[task_names[0]])
     part = jnp.asarray(np.array(
         [[float(task_participates(top_keys[l], t)) for l in range(num_leaves)]
@@ -90,11 +114,15 @@ def apply_pcgrad(task_grads: Dict[str, dict], params_template, key: jax.Array
 
     # Shuffled task order (reference :42-43).
     perm = jax.random.permutation(key, k)
-    g_orig = flat_g[perm]          # [K, P] in shuffled order
+    g_orig = flat_g[perm].reshape(k, num_blocks, _BLOCK)   # [K, B, T]
     part_p = part[perm]            # [K, L]
 
     def leaf_dot(a, b):
-        return jax.ops.segment_sum(a * b, leaf_ids, num_segments=num_leaves)
+        """Per-leaf dot of two blocked vectors: [B,T]·[B,T] → [L]."""
+        partial = jnp.sum(a * b, axis=-1)          # [B]
+        # HIGHEST precision: these feed sign tests (conflict decisions).
+        return jnp.matmul(blk_onehot, partial,
+                          precision=jax.lax.Precision.HIGHEST)
 
     modified = [g_orig[i] for i in range(k)]
     conflicts = jnp.zeros(())
@@ -108,19 +136,20 @@ def apply_pcgrad(task_grads: Dict[str, dict], params_template, key: jax.Array
             valid = (ni2 > 0) & (nj2 > 0)
             conflict = valid & (dot < 0)
             coef = jnp.where(conflict, dot / jnp.where(nj2 > 0, nj2, 1.0), 0.0)
-            modified[i] = gi - coef[leaf_ids] * gj
+            modified[i] = gi - coef[blk_ids][:, None] * gj
             conflicts += jnp.sum(conflict)
             projections += jnp.sum(valid)
 
     # Mean over participating tasks per leaf (reference :60-68).
     denom = jnp.maximum(jnp.sum(part_p, axis=0), 1.0)      # [L]
-    acc = sum(modified[i] * part_p[i][leaf_ids] for i in range(k))
-    combined_flat = acc / denom[leaf_ids]
+    acc = sum(modified[i] * part_p[i][blk_ids][:, None] for i in range(k))
+    combined_flat = (acc / denom[blk_ids][:, None]).reshape(-1)
 
-    # Unflatten back to the grads pytree.
+    # Unflatten back to the grads pytree (slices skip the per-leaf padding).
     sizes = [int(np.prod(s)) if s else 1 for s in shapes]
-    offsets = np.concatenate([[0], np.cumsum(sizes)])
-    leaves = [combined_flat[offsets[l]:offsets[l + 1]].reshape(shapes[l])
+    padded = [(s + _BLOCK - 1) // _BLOCK * _BLOCK for s in sizes]
+    offsets = np.concatenate([[0], np.cumsum(padded)])
+    leaves = [combined_flat[offsets[l]:offsets[l] + sizes[l]].reshape(shapes[l])
               for l in range(num_leaves)]
     combined = jax.tree.unflatten(treedef, leaves)
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import argparse
 import functools
-from typing import Dict, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -335,6 +335,10 @@ def make_chunked_train_step(model: PretrainableGNN, cfg: config.PretrainConfig,
                                balancer_step=balancer_step)
         return new_state, metrics
 
+    # Populated at trace time (aot_compile_chunks lowers before the loop
+    # runs); the row order of the packed metric array, host-readable.
+    metric_names: List[str] = []
+
     # Donate only the state: the key is 8 bytes and device_put may alias the
     # host loop's key array, which eval still splits afterwards.
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -347,9 +351,16 @@ def make_chunked_train_step(model: PretrainableGNN, cfg: config.PretrainConfig,
 
         (state, key), metrics = jax.lax.scan(body, (state, key),
                                              stacked_batches)
-        return state, key, metrics  # metric leaves have leading dim [chunk]
+        # Pack every metric into ONE [M, chunk] array: a device_get of a
+        # dict of ~30 tiny arrays costs one relay RPC PER LEAF (~0.35s each,
+        # 22s per flush measured); one packed array is one RPC.
+        names = sorted(metrics)
+        if not metric_names:
+            metric_names.extend(names)
+        packed = jnp.stack([metrics[n].astype(jnp.float32) for n in names])
+        return state, key, packed  # [num_metrics, chunk]
 
-    return chunk_fn
+    return chunk_fn, metric_names
 
 
 def stack_batches(batch_dicts):
@@ -508,6 +519,7 @@ def pretrain(cfg: config.PretrainConfig, aggregation: str = "dense",
 
     if use_dp:
         from gnn_pretraining_tpu.parallel.data_parallel import (
+            dp_pads,
             make_dp_train_step,
             shard_sampler_step,
         )
@@ -516,17 +528,19 @@ def pretrain(cfg: config.PretrainConfig, aggregation: str = "dense",
         mesh = make_mesh(n_data=n_dev)
         train_step = make_dp_train_step(model, cfg, optimizer, total_steps,
                                         mesh)
+        pads = dp_pads(train_loader, n_dev)
 
         def train_batches():
             for _ in range(steps_per_epoch):
-                yield shard_sampler_step(train_loader, n_dev)
+                yield shard_sampler_step(train_loader, n_dev, pads)
     elif chunk_steps > 1:
         # Default single-chip path: scan-fused chunks (see
         # make_chunked_train_step). Two programs compile per scheme (full
         # chunk + ragged tail), cached persistently across cells; both are
         # AOT-compiled below before any batch upload is in flight.
         chunk = int(min(chunk_steps, steps_per_epoch))
-        chunk_fn = make_chunked_train_step(model, cfg, optimizer, total_steps)
+        chunk_fn, chunk_metric_names = make_chunked_train_step(
+            model, cfg, optimizer, total_steps)
         train_step = None
     else:
         train_step = make_train_step(model, cfg, optimizer, total_steps)
@@ -575,6 +589,10 @@ def pretrain(cfg: config.PretrainConfig, aggregation: str = "dense",
             return
         fetched = jax.device_get([p[2] for p in pending])
         for (p_step0, p_epoch, _, p_edges), vals in zip(pending, fetched):
+            if not isinstance(vals, dict):
+                # Chunked path: one packed [M, chunk] array, rows in
+                # chunk_metric_names order (one relay RPC per chunk).
+                vals = dict(zip(chunk_metric_names, vals))
             arrs = {k: np.atleast_1d(np.asarray(v)) for k, v in vals.items()}
             for j, edges in enumerate(np.atleast_1d(p_edges)):
                 m = {k: float(a[j]) for k, a in arrs.items()}

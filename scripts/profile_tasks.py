@@ -40,8 +40,8 @@ params = jax.device_put(params)
 stats = jax.device_put(stats)
 print("backend:", jax.default_backend(), "scheme:", scheme, flush=True)
 
-ctx = TaskContext(temperature=temperature_at(0, 100), grl_lambda=jnp.float32(0.0),
-                  train=True)
+ctx = TaskContext(temperature=temperature_at(jnp.int32(0), 100),
+                  grl_lambda=jnp.float32(0.0), train=True)
 
 
 def time_task(task):

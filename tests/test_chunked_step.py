@@ -64,11 +64,11 @@ def test_chunked_matches_unfused(processed_dir, scheme):
         metrics_seq.append(jax.device_get(m))
 
     model, opt, state_b = fresh_state()
-    chunk_fn = make_chunked_train_step(model, cfg, opt, total_steps)
+    chunk_fn, names = make_chunked_train_step(model, cfg, opt, total_steps)
     stacked = jax.device_put(stack_batches(batches))
-    state_b, _, metrics_b = chunk_fn(state_b, stacked,
-                                     jax.random.PRNGKey(cfg.seed))
-    metrics_b = jax.device_get(metrics_b)
+    state_b, _, packed = chunk_fn(state_b, stacked,
+                                  jax.random.PRNGKey(cfg.seed))
+    metrics_b = dict(zip(names, jax.device_get(packed)))  # [M, chunk] rows
 
     # Same math, same key chain — but the fused scan is a differently-fused
     # XLA program, so float accumulation differs in the last ulps. PCGrad's
