@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from gnn_pretraining_tpu import config
 from gnn_pretraining_tpu.ops.sddmm import cosine_similarity_matrix
+from gnn_pretraining_tpu.ops.topk import exact_top_k
 
 
 def candidate_count(num_nodes: int, train_edges) -> int:
@@ -54,14 +55,14 @@ def mine_hard_negatives(embeddings: jnp.ndarray, forbidden: jnp.ndarray,
     allowed = ~forbidden
     masked = jnp.where(allowed, sim, -jnp.inf).reshape(-1)
 
-    _, hard_idx = jax.lax.top_k(masked, num_hard)
+    _, hard_idx = exact_top_k(masked, num_hard)
 
     num_rand = num_negatives - num_hard
     if num_rand > 0:
         # Uniform without replacement over allowed minus hard: Gumbel top-k.
         gumbel = jax.random.gumbel(key, (n * n,))
         avail = allowed.reshape(-1).at[hard_idx].set(False)
-        _, rand_idx = jax.lax.top_k(jnp.where(avail, gumbel, -jnp.inf), num_rand)
+        _, rand_idx = exact_top_k(jnp.where(avail, gumbel, -jnp.inf), num_rand)
         idx = jnp.concatenate([hard_idx, rand_idx])
     else:
         idx = hard_idx

@@ -263,3 +263,35 @@ class TestCosine:
         an = a / np.linalg.norm(a, axis=1, keepdims=True)
         np.testing.assert_allclose(cosine_similarity_matrix(jnp.array(a)),
                                    an @ an.T, rtol=1e-5, atol=1e-5)
+
+
+class TestExactTopK:
+    def test_matches_flat_top_k(self):
+        from gnn_pretraining_tpu.ops.topk import exact_top_k
+
+        rng = np.random.default_rng(11)
+        # Long enough to take the blocked path with an uneven tail.
+        v = jnp.asarray(rng.normal(size=(300_001,)).astype(np.float32))
+        ref_v, ref_i = jax.lax.top_k(v, 64)
+        got_v, got_i = exact_top_k(v, 64, num_blocks=128)
+        np.testing.assert_allclose(np.asarray(got_v), np.asarray(ref_v))
+        assert set(np.asarray(got_i).tolist()) == set(np.asarray(ref_i).tolist())
+
+    def test_small_fallback(self):
+        from gnn_pretraining_tpu.ops.topk import exact_top_k
+
+        v = jnp.asarray(np.arange(100, dtype=np.float32))
+        got_v, got_i = exact_top_k(v, 5)
+        np.testing.assert_array_equal(np.asarray(got_v), [99, 98, 97, 96, 95])
+        np.testing.assert_array_equal(np.asarray(got_i), [99, 98, 97, 96, 95])
+
+    def test_neg_inf_masked(self):
+        from gnn_pretraining_tpu.ops.topk import exact_top_k
+
+        rng = np.random.default_rng(12)
+        v = rng.normal(size=(70_000,)).astype(np.float32)
+        v[::2] = -np.inf  # half forbidden, like the mining mask
+        ref_v, _ = jax.lax.top_k(jnp.asarray(v), 32)
+        got_v, got_i = exact_top_k(jnp.asarray(v), 32, num_blocks=64)
+        np.testing.assert_allclose(np.asarray(got_v), np.asarray(ref_v))
+        assert np.all(np.asarray(got_i) % 2 == 1)
