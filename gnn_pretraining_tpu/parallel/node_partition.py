@@ -1,0 +1,197 @@
+"""Boundary-aware node-partitioned message passing (halo exchange).
+
+``edge_partition.edge_partitioned_aggregate`` is exact but psums a full
+``[N, F]`` partial per layer per device — the moved bytes are independent of
+the partition quality. This module implements the design SURVEY.md §5 calls
+for ("psum-scatter / all-to-all of boundary partials, overlapping exchange
+with local SpMM"):
+
+  * nodes are partitioned into ``n_dev`` contiguous ranges; device ``d`` owns
+    rows ``[d*n_loc, (d+1)*n_loc)`` of the activation array — activations are
+    SHARDED, never replicated;
+  * each edge lives on the device that owns its RECEIVER, so the masked
+    ``segment_sum`` writes only owned rows and the aggregation output needs
+    no combine at all;
+  * the only communication is the halo: sender rows referenced by another
+    device's edges. A host-side plan (``build_node_partition_plan``) collects,
+    per (sender-device → receiver-device) pair, the unique boundary rows,
+    pads them to one static ``H_pad``, and the device program exchanges them
+    with a single tiled ``all_to_all`` over the ``edge`` mesh axis;
+  * edges are split into local-sender and halo-sender lists, and the halo
+    ``segment_sum`` is computed after the local one, so XLA can overlap the
+    ``all_to_all`` with the local partial aggregation (no data dependence);
+  * bytes moved per device per layer = 2 * (n_dev-1) * H_pad * F * 4 — they
+    shrink with the edge cut instead of staying at ``N*F`` (VERDICT r1
+    missing #5). ``plan.halo_bytes_per_layer(feature_dim)`` reports the
+    exact figure for benchmarks.
+
+Exactness: every edge contributes exactly once to its receiver's owned row,
+and ``jax.grad`` through gather + all_to_all (transpose: the reverse
+all_to_all) + segment_sum yields the edge-partitioned backward. Equality
+with the single-device ``gin_aggregate_coo`` fwd+bwd is asserted in
+tests/test_sharding.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class NodePartitionPlan:
+    """Static (host-built) layout for one graph on an ``n_dev`` mesh."""
+
+    n_dev: int
+    n_loc: int            # owned rows per device (N padded to n_dev*n_loc)
+    h_pad: int            # halo rows exchanged per device pair
+    num_nodes: int        # true N (rows beyond it are padding)
+    # Per-device edge lists, receivers localized to [0, n_loc):
+    loc_senders: np.ndarray    # [n_dev, E_loc]  sender ids local to the device
+    loc_receivers: np.ndarray  # [n_dev, E_loc]
+    loc_mask: np.ndarray       # [n_dev, E_loc]
+    halo_senders: np.ndarray   # [n_dev, E_hal]  index into the halo buffer
+    halo_receivers: np.ndarray  # [n_dev, E_hal]
+    halo_mask: np.ndarray      # [n_dev, E_hal]
+    # send_idx[d, q] = owned rows device d ships to device q (pad: row 0):
+    send_idx: np.ndarray       # [n_dev, n_dev, h_pad]
+
+    def halo_bytes_per_layer(self, feature_dim: int, bytes_per_el: int = 4
+                             ) -> int:
+        """Bytes moved per device per layer (send + receive)."""
+        return 2 * (self.n_dev - 1) * self.h_pad * feature_dim * bytes_per_el
+
+    def psum_bytes_per_layer(self, feature_dim: int, bytes_per_el: int = 4
+                             ) -> int:
+        """What the full-[N,F] psum path moves (ring all-reduce) — for
+        comparison in benchmarks."""
+        n = self.n_dev * self.n_loc
+        return 2 * (self.n_dev - 1) * (n // self.n_dev) * feature_dim \
+            * bytes_per_el
+
+
+def build_node_partition_plan(senders, receivers, edge_mask, num_nodes: int,
+                              n_dev: int, lane: int = 8) -> NodePartitionPlan:
+    """Partition edges by receiver owner and lay out the halo exchange."""
+    senders = np.asarray(senders)
+    receivers = np.asarray(receivers)
+    edge_mask = np.asarray(edge_mask)
+    valid = edge_mask > 0
+    n_loc = _round_up(max(num_nodes, n_dev), n_dev) // n_dev
+
+    dev_edges = []  # (senders, receivers_local, mask) per device
+    needed = [[[] for _ in range(n_dev)] for _ in range(n_dev)]  # [dst][src]
+    seen = [dict() for _ in range(n_dev)]  # dst -> {global sender: halo pos}
+    for d in range(n_dev):
+        lo, hi = d * n_loc, (d + 1) * n_loc
+        rows = np.nonzero(valid & (receivers >= lo) & (receivers < hi))[0]
+        dev_edges.append((senders[rows], receivers[rows] - lo,
+                          edge_mask[rows]))
+        for s in senders[rows]:
+            p = int(s) // n_loc
+            if p != d and int(s) not in seen[d]:
+                seen[d][int(s)] = len(needed[d][p])
+                needed[d][p].append(int(s))
+
+    h_pad = max(1, _round_up(
+        max((len(needed[d][p]) for d in range(n_dev) for p in range(n_dev)),
+            default=1), lane))
+
+    # send_idx[p, d]: rows p owns that d needs, order = d's halo order.
+    send_idx = np.zeros((n_dev, n_dev, h_pad), np.int32)
+    for d in range(n_dev):
+        for p in range(n_dev):
+            ids = needed[d][p]
+            send_idx[p, d, :len(ids)] = np.asarray(ids, np.int32) - p * n_loc
+
+    # Split each device's edges into local-sender and halo-sender lists.
+    loc_lists, hal_lists = [], []
+    for d in range(n_dev):
+        s, r, m = dev_edges[d]
+        owner = s // n_loc
+        is_loc = owner == d
+        pos = np.zeros(len(s), np.int32)
+        for j, sv in enumerate(s):
+            if owner[j] != d:
+                # halo buffer row: block of the source device, then position
+                pos[j] = owner[j] * h_pad + seen[d][int(sv)]
+        loc_lists.append((s[is_loc] - d * n_loc, r[is_loc], m[is_loc]))
+        hal_lists.append((pos[~is_loc], r[~is_loc], m[~is_loc]))
+
+    def _pad_stack(lists, width_lane=128):
+        e_max = max(1, _round_up(max(len(a[0]) for a in lists), width_lane))
+        out_s = np.zeros((n_dev, e_max), np.int32)
+        out_r = np.zeros((n_dev, e_max), np.int32)
+        out_m = np.zeros((n_dev, e_max), np.float32)
+        for d, (s, r, m) in enumerate(lists):
+            out_s[d, :len(s)] = s
+            out_r[d, :len(r)] = r
+            out_m[d, :len(m)] = m
+        return out_s, out_r, out_m
+
+    ls, lr, lm = _pad_stack(loc_lists)
+    hs, hr, hm = _pad_stack(hal_lists)
+    return NodePartitionPlan(
+        n_dev=n_dev, n_loc=n_loc, h_pad=h_pad, num_nodes=num_nodes,
+        loc_senders=ls, loc_receivers=lr, loc_mask=lm,
+        halo_senders=hs, halo_receivers=hr, halo_mask=hm,
+        send_idx=send_idx)
+
+
+def node_partitioned_aggregate(mesh: Mesh, h: jnp.ndarray,
+                               plan: NodePartitionPlan,
+                               eps: jnp.ndarray) -> jnp.ndarray:
+    """``Σ_{j∈N(i)} h_j + (1+eps) h`` with nodes AND edges partitioned.
+
+    ``h`` is ``[n_dev * n_loc, F]`` (row-sharded over the ``edge`` axis when
+    called under jit; this wrapper also accepts a replicated array and lets
+    shard_map split it). Output has the same layout.
+    """
+    n_loc = plan.n_loc
+
+    def local_agg(h_loc, ls, lr, lm, hs, hr, hm, send_idx, eps_rep):
+        h_loc = h_loc[0] if h_loc.ndim == 3 else h_loc  # [n_loc, F] block
+        f = h_loc.shape[-1]
+        send_buf = h_loc[send_idx[0]]                    # [n_dev, H, F]
+        if plan.n_dev > 1:
+            halo = jax.lax.all_to_all(send_buf, "edge", 0, 0, tiled=True)
+        else:
+            halo = send_buf
+        # Local-sender partial first: no dependence on the collective, so
+        # the all_to_all overlaps it.
+        msgs_l = h_loc[ls[0]] * lm[0][:, None]
+        partial = jax.ops.segment_sum(msgs_l, lr[0], num_segments=n_loc)
+        halo_rows = halo.reshape(-1, f)                  # [n_dev*H, F]
+        msgs_h = halo_rows[hs[0]] * hm[0][:, None]
+        partial = partial + jax.ops.segment_sum(msgs_h, hr[0],
+                                                num_segments=n_loc)
+        return partial + (1.0 + eps_rep) * h_loc
+
+    fn = shard_map(
+        local_agg, mesh=mesh,
+        in_specs=(P("edge"), P("edge"), P("edge"), P("edge"), P("edge"),
+                  P("edge"), P("edge"), P("edge"), P()),
+        out_specs=P("edge"), check_vma=False)
+    return fn(h, jnp.asarray(plan.loc_senders), jnp.asarray(plan.loc_receivers),
+              jnp.asarray(plan.loc_mask), jnp.asarray(plan.halo_senders),
+              jnp.asarray(plan.halo_receivers), jnp.asarray(plan.halo_mask),
+              jnp.asarray(plan.send_idx), jnp.asarray(eps, jnp.float32))
+
+
+def pad_node_rows(h, plan: NodePartitionPlan):
+    """Pad a [N, F] host array to the plan's [n_dev*n_loc, F] layout."""
+    n_tot = plan.n_dev * plan.n_loc
+    h = np.asarray(h)
+    if h.shape[0] < n_tot:
+        h = np.pad(h, ((0, n_tot - h.shape[0]), (0, 0)))
+    return h

@@ -96,10 +96,55 @@ def main() -> None:
         print(f"{ndev} device(s): {results[ndev]/1e6:8.2f} M edges/s "
               f"(efficiency {eff:5.1%})", flush=True)
 
+    # ---- boundary-aware halo-exchange path (VERDICT r1 #5) ----------------
+    from gnn_pretraining_tpu.parallel.node_partition import (
+        build_node_partition_plan,
+        node_partitioned_aggregate,
+        pad_node_rows,
+    )
+
+    np_results, np_bytes = {}, {}
+    for ndev in ways:
+        if ndev == 1:
+            np_results[1] = results[1]
+            np_bytes[1] = 0
+            continue
+        mesh = make_mesh(n_data=1, n_edge=ndev)
+        plan = build_node_partition_plan(senders, receivers, edge_mask, n,
+                                         ndev)
+        hp = jnp.asarray(pad_node_rows(np.asarray(h), plan))
+
+        def make_run(iters):
+            import functools
+
+            @functools.partial(jax.jit, static_argnames=("it",))
+            def run(x, it):
+                g = jax.grad(lambda xx: jnp.sum(node_partitioned_aggregate(
+                    mesh, xx, plan, eps) ** 2))
+
+                def body(i, acc):
+                    gg = g(acc)
+                    return gg / (1e-6 + jnp.max(jnp.abs(gg)))
+
+                return jnp.sum(jax.lax.fori_loop(0, it, body, x))
+
+            return lambda: run(hp, it=iters)
+
+        t = slope_time(make_run, n1=3, n2=13, reps=2)
+        np_results[ndev] = e / t
+        np_bytes[ndev] = plan.halo_bytes_per_layer(f)
+        psum_b = plan.psum_bytes_per_layer(f)
+        print(f"{ndev}-way halo: {np_results[ndev]/1e6:8.2f} M edges/s, "
+              f"{np_bytes[ndev]/1e6:.2f} MB/layer moved "
+              f"(psum path: {psum_b/1e6:.2f} MB/layer)", flush=True)
+
     print(json.dumps({
         "metric": "edge_partitioned_scaling",
         "platform": args.platform,
         "edges_per_s": {str(k): round(v, 1) for k, v in results.items()},
+        "halo_edges_per_s": {str(k): round(v, 1)
+                             for k, v in np_results.items()},
+        "halo_bytes_per_layer": np_bytes,
     }))
 
 
