@@ -1,17 +1,28 @@
-"""Benchmark: edges/s/chip for GIN SpMM aggregation, fwd+bwd, Cora shape.
+"""Benchmark suite: flagship kernels on the chip, one JSON line per metric.
 
-Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
+Line schema: ``{"metric", "value", "unit", "vs_baseline"}`` (+ ``"mfu"`` for
+the MXU kernels). The first line is the headline metric (SpMM fwd+bwd on the
+Cora shape). The reference publishes no kernel numbers (BASELINE.md:
+``published = {}``), so every ``vs_baseline`` compares against the strongest
+in-repo alternative implementation on the same chip, same process:
 
-The reference publishes no kernel numbers (BASELINE.md: ``published = {}``);
-``vs_baseline`` therefore reports the Pallas MXU kernel (default ``split``
-precision mode, bf16-stored adjacency — ~4e-5 relative error) against the
-in-repo XLA ``segment_sum`` COO path (the reference-semantics implementation
-a naive port would use), same chip, same process.
+  * SpMM:   Pallas ``split`` kernel vs the XLA dense-matmul path
+    (``gin_aggregate_dense`` — the strongest alternative; the COO
+    ``segment_sum`` path a naive port would use is reported as ``vs_coo``).
+  * NT-Xent: fused Pallas fwd+bwd kernel vs the XLA ``nt_xent_loss`` formula.
+  * Mining top-k: two-stage exact ``ops.topk.exact_top_k`` vs flat
+    ``jax.lax.top_k`` on the N^2 similarity vector (the LP fine-tune hot op).
 
-Method: one fwd + one bwd per iteration through the kernel's custom VJP,
-iterated inside a jitted ``fori_loop``; timing uses the slope between two
-iteration counts so fixed per-call costs (relay RPC, host transfers) cancel
-(utils/profiling.slope_time). edges/s = E_real / marginal-iteration-time.
+Shapes: BASELINE.md names Cora (N=2708, E=10556) and an ENZYMES pretrain
+batch (32 graphs quantile-padded: N=2048, E~=4000) as the SpMM bench shapes.
+MFU counts the dense matmul FLOPs the kernel actually executes
+(fwd ``A@h`` + bwd ``A^T@g``: 2 * 2*N*N*F) against the v5e bf16 peak
+(197 TFLOP/s); the ``split`` mode runs two bf16 passes per matmul, so its
+arithmetic MFU is 2x the reported number.
+
+Method: one fwd + one bwd per iteration inside a jitted ``fori_loop``;
+timing is the slope between two iteration counts so fixed per-call costs
+(relay RPC, host transfers) cancel (utils/profiling.slope_time).
 """
 
 from __future__ import annotations
@@ -21,65 +32,151 @@ from functools import partial
 
 import numpy as np
 
-CORA_N, CORA_E, F = 2708, 10556, 256
+V5E_BF16_PEAK = 197e12  # FLOP/s, one chip
+
+
+def _spmm_bench(jax, jnp, n, e, f, label):
+    from gnn_pretraining_tpu.ops.spmm import (
+        build_dense_adjacency,
+        gin_aggregate_coo,
+        gin_aggregate_dense,
+        spmm_pallas,
+    )
+    from gnn_pretraining_tpu.utils.profiling import slope_time
+
+    rng = np.random.default_rng(0)
+    senders = jnp.asarray(rng.integers(0, n, e), jnp.int32)
+    receivers = jnp.asarray(rng.integers(0, n, e), jnp.int32)
+    edge_mask = jnp.ones(e, jnp.float32)
+    h = jnp.asarray(rng.normal(size=(n, f)), jnp.float32)
+    eps = jnp.float32(0.1)
+    adj_bf = build_dense_adjacency(senders, receivers, edge_mask, n,
+                                   dtype=jnp.bfloat16)
+    adj_f32 = adj_bf.astype(jnp.float32)
+
+    def loop(loss_of_x):
+        grad = jax.grad(loss_of_x)
+
+        def body(i, acc):
+            g = grad(acc)
+            return g / (1e-6 + jnp.max(jnp.abs(g)))
+
+        return body
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def run_pallas(a, x, iters):
+        body = loop(lambda xx: jnp.sum(spmm_pallas(a, xx, eps, "split") ** 2))
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, x))
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def run_dense(a, x, iters):
+        body = loop(lambda xx: jnp.sum(gin_aggregate_dense(xx, a, eps) ** 2))
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, x))
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def run_coo(x, iters):
+        body = loop(lambda xx: jnp.sum(
+            gin_aggregate_coo(xx, senders, receivers, edge_mask, eps) ** 2))
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, x))
+
+    t_pallas = slope_time(lambda it: (lambda: run_pallas(adj_bf, h, iters=it)))
+    t_dense = slope_time(lambda it: (lambda: run_dense(adj_f32, h, iters=it)))
+    t_coo = slope_time(lambda it: (lambda: run_coo(h, iters=it)))
+
+    flops = 2 * 2 * n * n * f  # fwd A@h + bwd A^T@g, 2 FLOPs per MAC
+    return {
+        "metric": f"spmm_fwd_bwd_edges_per_s_{label}",
+        "value": round(e / t_pallas, 1),
+        "unit": "edges/s/chip",
+        "vs_baseline": round(t_dense / t_pallas, 3),
+        "mfu": round(flops / t_pallas / V5E_BF16_PEAK, 4),
+        "vs_coo": round(t_coo / t_pallas, 3),
+    }
+
+
+def _ntxent_bench(jax, jnp, rows, dim):
+    from gnn_pretraining_tpu.ops.ntxent_pallas import nt_xent_pallas
+    from gnn_pretraining_tpu.ops.sddmm import nt_xent_loss
+    from gnn_pretraining_tpu.utils.profiling import slope_time
+
+    rng = np.random.default_rng(1)
+    z1 = jnp.asarray(rng.normal(size=(rows, dim)), jnp.float32)
+    z2 = jnp.asarray(rng.normal(size=(rows, dim)), jnp.float32)
+    valid = jnp.ones(rows, jnp.float32)
+    temp = jnp.float32(0.4)
+
+    def make(loss_fn):
+        @partial(jax.jit, static_argnames=("iters",))
+        def run(a, b, iters):
+            def body(i, acc):
+                def scalar(z):
+                    s, r = loss_fn(z, b, temp, valid)
+                    return s / jnp.maximum(r, 1.0)
+
+                g = jax.grad(scalar)(a + acc * 0)
+                return acc + jnp.sum(g) * 1e-9
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        return run
+
+    run_fused = make(nt_xent_pallas)
+    run_xla = make(nt_xent_loss)
+    t_fused = slope_time(lambda it: (lambda: run_fused(z1, z2, iters=it)))
+    t_xla = slope_time(lambda it: (lambda: run_xla(z1, z2, iters=it)))
+    return {
+        "metric": f"ntxent_fused_fwd_bwd_pairs_per_s_n{rows}",
+        "value": round(rows / t_fused, 1),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(t_xla / t_fused, 3),
+    }
+
+
+def _mining_topk_bench(jax, jnp, n, k):
+    from gnn_pretraining_tpu.ops.topk import exact_top_k
+    from gnn_pretraining_tpu.utils.profiling import slope_time
+
+    rng = np.random.default_rng(2)
+    v = jnp.asarray(rng.normal(size=(n * n,)), jnp.float32)
+
+    def make(topk):
+        @partial(jax.jit, static_argnames=("iters",))
+        def run(x, iters):
+            def body(i, acc):
+                vals, idx = topk(x + acc * 1e-20)
+                return acc + vals[0] + idx[0].astype(jnp.float32) * 1e-9
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        return run
+
+    run_two = make(lambda x: exact_top_k(x, k))
+    run_flat = make(lambda x: jax.lax.top_k(x, k))
+    t_two = slope_time(lambda it: (lambda: run_two(v, iters=it)))
+    t_flat = slope_time(lambda it: (lambda: run_flat(v, iters=it)))
+    return {
+        "metric": f"mining_exact_topk{k}_of_{n}sq_per_s",
+        "value": round(1.0 / t_two, 2),
+        "unit": "calls/s/chip",
+        "vs_baseline": round(t_flat / t_two, 3),
+    }
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from gnn_pretraining_tpu.ops.spmm import (
-        build_dense_adjacency,
-        gin_aggregate_coo,
-        spmm_pallas,
-    )
-    from gnn_pretraining_tpu.utils.profiling import slope_time
     from gnn_pretraining_tpu.utils.runtime import setup_jax
 
     setup_jax()
-    rng = np.random.default_rng(0)
-    senders = jnp.asarray(rng.integers(0, CORA_N, CORA_E), jnp.int32)
-    receivers = jnp.asarray(rng.integers(0, CORA_N, CORA_E), jnp.int32)
-    edge_mask = jnp.ones(CORA_E, jnp.float32)
-    h = jnp.asarray(rng.normal(size=(CORA_N, F)), jnp.float32)
-    eps = jnp.float32(0.1)
-    adj_bf = build_dense_adjacency(senders, receivers, edge_mask, CORA_N,
-                                   dtype=jnp.bfloat16)
-
-    @partial(jax.jit, static_argnames=("iters",))
-    def run_pallas(a, x, iters):
-        grad = jax.grad(lambda xx: jnp.sum(spmm_pallas(a, xx, eps, "split") ** 2))
-
-        def body(i, acc):
-            g = grad(acc)
-            return g / (1e-6 + jnp.max(jnp.abs(g)))
-
-        return jnp.sum(jax.lax.fori_loop(0, iters, body, x))
-
-    @partial(jax.jit, static_argnames=("iters",))
-    def run_coo(s, r, m, x, iters):
-        grad = jax.grad(lambda xx: jnp.sum(
-            gin_aggregate_coo(xx, s, r, m, eps) ** 2))
-
-        def body(i, acc):
-            g = grad(acc)
-            return g / (1e-6 + jnp.max(jnp.abs(g)))
-
-        return jnp.sum(jax.lax.fori_loop(0, iters, body, x))
-
-    t_pallas = slope_time(lambda it: (lambda: run_pallas(adj_bf, h, iters=it)))
-    t_coo = slope_time(lambda it: (lambda: run_coo(senders, receivers,
-                                                   edge_mask, h, iters=it)))
-
-    edges_per_s = CORA_E / t_pallas
-    vs_baseline = t_coo / t_pallas  # >1 ⇒ Pallas beats the XLA COO path
-
-    print(json.dumps({
-        "metric": "spmm_fwd_bwd_edges_per_s_cora",
-        "value": round(edges_per_s, 1),
-        "unit": "edges/s/chip",
-        "vs_baseline": round(vs_baseline, 3),
-    }))
+    results = [
+        _spmm_bench(jax, jnp, 2708, 10556, 256, "cora"),
+        _spmm_bench(jax, jnp, 2048, 3968, 256, "enzymes_batch"),
+        _ntxent_bench(jax, jnp, 1024, 128),
+        _mining_topk_bench(jax, jnp, 3328, 256),
+    ]
+    for r in results:
+        print(json.dumps(r))
 
 
 if __name__ == "__main__":
