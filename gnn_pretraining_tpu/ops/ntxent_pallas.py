@@ -34,6 +34,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _mm_dtype():
+    """Matmul operand dtype: bf16 on the chip (one MXU pass — the same
+    single-pass numerics as the XLA path's default-precision matmul; a true
+    f32 dot costs 3+ passes and made the kernel LOSE to XLA, 0.71x measured),
+    f32 in CPU interpret mode where the XLA reference is full f32."""
+    import jax as _jax
+
+    return jnp.bfloat16 if _jax.default_backend() == "tpu" else jnp.float32
+
+
 def _fwd_kernel(temp_ref, z_ref, zt_ref, valid_ref, loss_ref, mx_ref, den_ref,
                 *, rows: int):
     """One row-tile: S = z_tile @ zᵀ/τ, masked; emit per-row loss/max/denom.
@@ -45,7 +55,8 @@ def _fwd_kernel(temp_ref, z_ref, zt_ref, valid_ref, loss_ref, mx_ref, den_ref,
     n2 = zt_ref.shape[1]
     half = rows // 2
 
-    s = jax.lax.dot_general(z_ref[:], zt_ref[:],
+    mmt = _mm_dtype()
+    s = jax.lax.dot_general(z_ref[:].astype(mmt), zt_ref[:].astype(mmt),
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) / temp_ref[0]
 
@@ -87,7 +98,8 @@ def _bwd_kernel(temp_ref, z_ref, zt_ref, valid_ref, mx_ref, den_ref, g_ref,
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    s = jax.lax.dot_general(z_ref[:], zt_ref[:],
+    mmt = _mm_dtype()
+    s = jax.lax.dot_general(z_ref[:].astype(mmt), zt_ref[:].astype(mmt),
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) / temp_ref[0]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (r, n2), 0) + k * r
@@ -104,11 +116,12 @@ def _bwd_kernel(temp_ref, z_ref, zt_ref, valid_ref, mx_ref, den_ref, g_ref,
     grad_s = grad_s * g_rows[:, None] / temp_ref[0]
 
     # rows k of dZ get G_k @ Z  (Z = zt transposed: [n2, d] view of zt_ref.T)
-    gz = jax.lax.dot_general(grad_s, zt_ref[:],
+    grad_s16 = grad_s.astype(mmt)
+    gz = jax.lax.dot_general(grad_s16, zt_ref[:].astype(mmt),
                              (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)  # [r, d]
     # all rows get G_kᵀ @ Z_k
-    gtz = jax.lax.dot_general(grad_s, z_ref[:],
+    gtz = jax.lax.dot_general(grad_s16, z_ref[:].astype(mmt),
                               (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)  # [n2, d]
 

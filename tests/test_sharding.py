@@ -230,6 +230,10 @@ class TestDataParallelTasks:
         import gnn_pretraining_tpu.pretrain.tasks as tasks_mod
 
         monkeypatch.setattr(config, "DROPOUT_RATE", 0.0)
+        monkeypatch.setattr(config, "DOMAIN_CLASSIFIER_DROPOUT_RATE", 0.0)
+        # 2 layers instead of 5: the exactness argument is per-layer, and the
+        # full-depth CPU shard_map compiles take tens of minutes.
+        monkeypatch.setattr(config, "GNN_NUM_LAYERS", 2)
         monkeypatch.setattr(tasks_mod, "masked_randperm_select", _det_select)
         monkeypatch.setattr(tasks_mod, "batched_negative_sampling",
                             _det_negsample)
