@@ -389,7 +389,8 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
              epochs: Optional[int] = None,
              edge_parallel: bool = False,
              data_parallel: bool = False,
-             out_root=None, fused: bool = True) -> Dict[str, float]:
+             out_root=None, fused: bool = True,
+             chunk_epochs: int = 32) -> Dict[str, float]:
     from pathlib import Path
 
     training_start = time.time()
@@ -446,7 +447,8 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
             cfg, data, model, (state.params, state.batch_stats,
                                state.opt_state),
             optimizer, labels, lrs, aggregation, epochs, patience, logger,
-            ckpt_path, training_start, total_params, trainable_params)
+            ckpt_path, training_start, total_params, trainable_params,
+            chunk_epochs=chunk_epochs)
         from gnn_pretraining_tpu.utils.fidelity import fidelity_block
 
         logger.finish(extra=fidelity_block(epochs, cfg.seed, aggregation,
@@ -570,6 +572,7 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
 
     def run_eval_pass(split, epoch):
         batch_metrics = []
+        all_y, all_p = [], []
         for kind, payload in eval_batches(split):
             if kind == "gc_dp":
                 out = eval_step(state, payload)
@@ -595,7 +598,12 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
                 np.asarray(preds)[valid], np.asarray(probs)[valid],
                 float(loss), split)
             batch_metrics.append(bm)
-        return batch_metrics
+            all_y.append(np.asarray(y)[valid])
+            all_p.append(np.asarray(probs)[valid])
+        global_auc = M.compute_global_auc(cfg.domain_name,
+                                          np.concatenate(all_y),
+                                          np.concatenate(all_p), split)
+        return batch_metrics, global_auc
 
     best_val = -float("inf")
     epochs_since_improvement = 0
@@ -633,8 +641,9 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
                 np.asarray(probs)[valid], step_start, float(gnorm))
             logger.log(tm, step=global_step)
 
-        val_bm = run_eval_pass("val", epoch)
+        val_bm, val_gauc = run_eval_pass("val", epoch)
         val_metrics = M.compute_validation_metrics(val_bm, epoch)
+        val_metrics.update(val_gauc)
         logger.log(val_metrics, step=global_step)
 
         if val_metrics[sel_key] > best_val:
@@ -651,10 +660,11 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
     best = load_checkpoint(ckpt_path)
     state = FTState(params=best["params"], batch_stats=best["batch_stats"],
                     opt_state=state.opt_state)
-    test_bm = run_eval_pass("test", epoch)
+    test_bm, test_gauc = run_eval_pass("test", epoch)
     test_metrics = M.compute_test_metrics(
         test_bm, epoch, epochs_since_improvement, training_start,
         total_params, trainable_params)
+    test_metrics.update(test_gauc)
     logger.log(test_metrics, step=global_step)
     from gnn_pretraining_tpu.utils.fidelity import fidelity_block
 

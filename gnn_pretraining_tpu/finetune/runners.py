@@ -314,8 +314,8 @@ def _graph_dict(g):
 def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
                        aggregation: str, epochs: int, patience: int,
                        logger, ckpt_path, training_start: float,
-                       total_params: int, trainable_params: int
-                       ) -> Dict[str, float]:
+                       total_params: int, trainable_params: int,
+                       chunk_epochs: int = 32) -> Dict[str, float]:
     """Pass-1 metrics sweep + host selection + pass-2 replay + test pass.
 
     ``state0`` is the (params, batch_stats, opt_state) tuple at initialization
@@ -372,15 +372,20 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
     jax.block_until_ready((train_stack, val_stack, test_stack, aux, state0))
 
     steps_per_epoch = jax.tree.leaves(train_stack)[0].shape[0]
-    E = int(min(32, epochs))
+    E = int(min(chunk_epochs, epochs))
     base_key = jax.random.PRNGKey(cfg.seed + 7919)
 
     def run_epochs(state, tr, va, ax, key, epoch0, limit):
+        """Run E epochs from absolute epoch ``epoch0``; only the first
+        ``limit`` epochs of THIS chunk apply updates (i.e. absolute epochs
+        < epoch0 + limit), the rest replay evaluation on the frozen state.
+        Pass 1 uses limit=E (all active); pass-2 replay uses
+        limit = best_epoch - epoch0 to stop exactly at the best epoch."""
         def epoch_body(st, eidx):
             def step_body(s, xs):
                 sidx, batch = xs
                 s2, logs = train_one(s, batch, ax, _key_for(key, eidx, sidx))
-                s2 = _masked_update(eidx < limit, s2, s)
+                s2 = _masked_update(eidx < epoch0 + limit, s2, s)
                 return s2, logs
 
             st, tlogs = jax.lax.scan(

@@ -1,0 +1,25 @@
+#!/bin/bash
+# Production sweep at reference fidelity (VERDICT r1 next-round #1):
+#   24 pretrain cells (8 schemes x seeds 42/84/126, 50 epochs) then the full
+#   324-cell fine-tune grid (6 domains x 2 strategies x 9 schemes x 3 seeds,
+#   100-300 epochs per domain), on the real TPU chip, followed by the
+#   analysis layer (experiment_results.csv + tables 1-4 + heatmaps).
+# Both drivers are --resume: an interrupted sweep continues where it
+# stopped, and fidelity-aware markers guarantee a smoke run never masks a
+# production cell. Run in the background:
+#   nohup bash scripts/production_sweep.sh > /tmp/sweep.log 2>&1 &
+set -uo pipefail
+cd /root/repo
+
+echo "=== pretrain sweep start $(date -u +%FT%TZ) epoch=$(date +%s) ==="
+python run_pretrain.py --sweep --resume --no_wandb
+echo "=== pretrain sweep end $(date -u +%FT%TZ) epoch=$(date +%s) ==="
+
+echo "=== finetune sweep start $(date -u +%FT%TZ) epoch=$(date +%s) ==="
+python run_finetune.py --sweep --resume --no_wandb
+echo "=== finetune sweep end $(date -u +%FT%TZ) epoch=$(date +%s) ==="
+
+echo "=== analysis $(date -u +%FT%TZ) ==="
+python analysis/data_collection.py
+python analysis/data_analysis.py
+echo "=== done $(date -u +%FT%TZ) epoch=$(date +%s) ==="

@@ -58,6 +58,29 @@ def test_best_checkpoint_matches_logged_best(processed_dir):
     assert ckpt["meta"]["epoch"] == best_epoch
 
 
+def test_chunk_boundary_invariance(processed_dir):
+    """Epoch-chunked execution must be invariant to the chunk size: training
+    with chunk_epochs=2 (three chunk boundaries in 5 epochs) and
+    chunk_epochs=32 (single chunk) must produce identical metrics.
+
+    Regression test for the round-2 fix where the in-chunk update mask
+    compared the ABSOLUTE epoch index against the chunk-RELATIVE limit,
+    freezing all training after the first chunk (runners.py run_epochs)."""
+    cfg = config.FinetuneConfig(domain_name="PTC_MR",
+                                finetune_strategy="full_finetune",
+                                pretrained_scheme="b1", seed=42)
+    results = []
+    for ce in (2, 32):
+        out = pathlib.Path(tempfile.mkdtemp())
+        results.append(finetune(cfg, processed_dir=processed_dir,
+                                use_wandb=False, epochs=5, out_root=out,
+                                chunk_epochs=ce))
+    r2, r32 = results
+    for k, v in r32.items():
+        if isinstance(v, float) and "time" not in k:
+            np.testing.assert_allclose(r2[k], v, rtol=1e-5, err_msg=k)
+
+
 def test_val_global_auc_logged(processed_dir):
     res, out, cfg = _run(processed_dir, "CiteSeer_LP", 3)
     assert "test/auc_global" in res
