@@ -1,0 +1,77 @@
+"""Wall-clock report for the production sweep (VERDICT r1 #1).
+
+Parses the production_sweep.sh log (per-cell "[i/N] run: ... (123s)" lines
+and phase timestamps) plus the metric summaries, and writes
+``analysis/results/sweep_wallclock.json`` + a markdown table comparing
+against the reference's wall-clock (EXECUTION_GUIDE.md "Total Experiments":
+pretraining 24 runs ~17 GPU-h, fine-tuning 324 runs ~24 GPU-h on one
+NVIDIA L4; BASELINE.md:49).
+
+Run: python scripts/sweep_report.py /tmp/sweep.log
+"""
+
+import json
+import re
+import sys
+from pathlib import Path
+
+REF = {"pretrain_runs": 24, "pretrain_hours": 17.0,
+       "finetune_runs": 324, "finetune_hours": 24.0}
+
+
+def parse(log_path: str):
+    text = Path(log_path).read_text()
+    phases = {}
+    for m in re.finditer(r"=== (\w+) sweep (start|end) .*?epoch=(\d+)", text):
+        phases[(m.group(1), m.group(2))] = int(m.group(3))
+    cells = re.findall(r"\[(\d+)/(\d+)\] (\S+): (?:.*?)\((\d+)s\)", text)
+    per_phase = {"pretrain": [], "finetune": []}
+    for i, n, run, secs in cells:
+        phase = "pretrain" if int(n) == 24 else "finetune"
+        per_phase[phase].append((run, int(secs)))
+    return phases, per_phase
+
+
+def main():
+    log = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sweep.log"
+    phases, per_phase = parse(log)
+    out = {}
+    for phase in ("pretrain", "finetune"):
+        runs = per_phase[phase]
+        t0 = phases.get((phase, "start"))
+        t1 = phases.get((phase, "end"))
+        wall_s = (t1 - t0) if (t0 and t1) else sum(s for _, s in runs)
+        out[phase] = {
+            "cells_completed": len(runs),
+            "wall_hours": round(wall_s / 3600.0, 3),
+            "mean_cell_s": round(sum(s for _, s in runs) / max(len(runs), 1), 1),
+            "max_cell": max(runs, key=lambda kv: kv[1]) if runs else None,
+        }
+    ref_total = REF["pretrain_hours"] + REF["finetune_hours"]
+    got_total = out["pretrain"]["wall_hours"] + out["finetune"]["wall_hours"]
+    out["total_wall_hours"] = round(got_total, 3)
+    out["reference_total_hours"] = ref_total
+    if got_total > 0:
+        out["speedup_vs_reference"] = round(ref_total / got_total, 1)
+    res_dir = Path("analysis/results")
+    res_dir.mkdir(parents=True, exist_ok=True)
+    (res_dir / "sweep_wallclock.json").write_text(json.dumps(out, indent=2))
+    print(json.dumps(out, indent=2))
+
+    md = ["| Phase | Runs | TPU v5e wall | Reference (L4) | Speedup |",
+          "|---|---|---|---|---|"]
+    for phase in ("pretrain", "finetune"):
+        o = out[phase]
+        rh = REF[f"{phase}_hours"]
+        sp = (f"{rh / o['wall_hours']:.1f}x" if o["wall_hours"] else "-")
+        md.append(f"| {phase} | {o['cells_completed']}/"
+                  f"{REF[f'{phase}_runs']} | {o['wall_hours']:.2f} h | "
+                  f"~{rh:.0f} h | {sp} |")
+    md.append(f"| **total** | | **{got_total:.2f} h** | ~{ref_total:.0f} h | "
+              f"**{out.get('speedup_vs_reference', '-')}x** |")
+    (res_dir / "sweep_wallclock.md").write_text("\n".join(md) + "\n")
+    print("\n".join(md))
+
+
+if __name__ == "__main__":
+    main()
