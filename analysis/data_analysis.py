@@ -142,7 +142,11 @@ def main() -> None:
     parser.add_argument("--results", type=str,
                         default=str(RESULTS_DIR / "experiment_results.csv"))
     args = parser.parse_args()
-    df = pd.read_csv(args.results)
+    try:
+        df = pd.read_csv(args.results)
+    except (FileNotFoundError, pd.errors.EmptyDataError):
+        print(f"No results to analyze in {args.results}; run the sweep first.")
+        return
     RESULTS_DIR.mkdir(parents=True, exist_ok=True)
 
     agg = _agg(df)
