@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from gnn_pretraining_tpu import config
-from gnn_pretraining_tpu.ops.sddmm import cosine_similarity_matrix
+from gnn_pretraining_tpu.ops.sddmm import cosine_similarity_matrix, l2_normalize
 from gnn_pretraining_tpu.ops.topk import exact_top_k
 
 
@@ -33,6 +33,11 @@ def candidate_count(num_nodes: int, train_edges) -> int:
     pairs -= {(u, u) for u, _ in pairs}
     off_diag_links = len(pairs)
     return num_nodes * num_nodes - num_nodes - off_diag_links
+
+
+# Above this node count the [N, N] similarity/gumbel buffers stop being a
+# rounding error; the streaming miner caps peak memory at O(block·N).
+_STREAMING_MIN_NODES = 8192
 
 
 @functools.partial(jax.jit, static_argnames=("num_negatives", "num_hard"))
@@ -51,6 +56,10 @@ def mine_hard_negatives(embeddings: jnp.ndarray, forbidden: jnp.ndarray,
       (senders, receivers): [num_negatives] global node ids.
     """
     n = embeddings.shape[0]
+    if n >= _STREAMING_MIN_NODES:
+        return mine_hard_negatives_streaming(embeddings, forbidden, key,
+                                             num_negatives=num_negatives,
+                                             num_hard=num_hard)
     sim = cosine_similarity_matrix(embeddings)
     allowed = ~forbidden
     masked = jnp.where(allowed, sim, -jnp.inf).reshape(-1)
@@ -68,6 +77,87 @@ def mine_hard_negatives(embeddings: jnp.ndarray, forbidden: jnp.ndarray,
         idx = hard_idx
 
     return (idx // n).astype(jnp.int32), (idx % n).astype(jnp.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_negatives", "num_hard", "row_block"))
+def mine_hard_negatives_streaming(embeddings: jnp.ndarray,
+                                  forbidden: jnp.ndarray, key: jax.Array,
+                                  num_negatives: int, num_hard: int,
+                                  row_block: int = 512
+                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused masked-SDDMM + top-k miner that never materializes [N, N].
+
+    Streams row blocks of the cosine-similarity matrix (``lax.map`` compiles
+    the block body once): each step computes one [row_block, N] masked SDDMM
+    tile on the MXU and immediately reduces it to its top-``num_hard``
+    entries, so peak memory is O(row_block·N) instead of O(N²). Every global
+    winner is a winner of its own block, so the hard set is exact — identical
+    to the dense path's ``exact_top_k`` over the full matrix.
+
+    The uniform remainder also streams: per-block Gumbel noise over *allowed*
+    slots (hard slots included), global top-``num_negatives`` candidates,
+    then hard-set collisions are dropped and the first ``num_rand`` survivors
+    kept. Ranking i.i.d. Gumbels is a uniform random permutation, and
+    deleting elements from a uniform permutation leaves a uniform permutation
+    of the rest, so this is distributed exactly as the dense path's Gumbel
+    top-k over allowed-minus-hard (the sampled set differs per key, the
+    distribution does not). At most ``num_hard`` of the ``num_negatives``
+    candidates can collide, so ≥ ``num_rand`` always survive.
+
+    Not a Mosaic in-kernel top-k by design: TPU Pallas has no sort/top-k
+    primitive, and an iterative max-and-suppress loop over each tile would be
+    VPU-bound at O(k·block·N) — strictly slower than letting XLA fuse the
+    mask into the matmul epilogue and sort [row_block·N] winners per block.
+    """
+    n = embeddings.shape[0]
+    z = l2_normalize(embeddings)
+    nb = -(-n // row_block)
+    pad = nb * row_block - n
+    zp = jnp.pad(z, ((0, pad), (0, 0)))
+    fp = jnp.pad(forbidden, ((0, pad), (0, 0)), constant_values=True)
+    num_rand = num_negatives - num_hard
+    kk = min(num_hard, row_block * n)
+    gk = min(num_negatives, row_block * n)
+
+    # Winners carry (value, block-local index); the local index stays below
+    # row_block·n so everything fits int32 regardless of how large N² gets.
+    def block(i):
+        zb = jax.lax.dynamic_slice_in_dim(zp, i * row_block, row_block)
+        fb = jax.lax.dynamic_slice_in_dim(fp, i * row_block, row_block)
+        sim = jnp.dot(zb, z.T, preferred_element_type=jnp.float32)
+        sim = jnp.where(fb, -jnp.inf, sim).reshape(-1)
+        out = jax.lax.top_k(sim, kk)
+        if num_rand > 0:
+            gum = jax.random.gumbel(jax.random.fold_in(key, i),
+                                    (row_block * n,))
+            gum = jnp.where(fb.reshape(-1), -jnp.inf, gum)
+            out += jax.lax.top_k(gum, gk)
+        return out
+
+    res = jax.lax.map(block, jnp.arange(nb, dtype=jnp.int32))
+
+    def decode(flat_sel, local, per_block):
+        """[nb, per_block] winners → global (row, col) of flat selections."""
+        blk = flat_sel // per_block
+        loc = local.reshape(-1)[flat_sel]
+        return blk * row_block + loc // n, loc % n
+
+    _, sel = jax.lax.top_k(res[0].reshape(-1), num_hard)
+    hr, hc = decode(sel, res[1], kk)
+
+    if num_rand > 0:
+        _, gsel = jax.lax.top_k(res[2].reshape(-1), num_negatives)
+        rr, rc = decode(gsel, res[3], gk)        # sorted by Gumbel, descending
+        collide = jnp.any((rr[:, None] == hr[None, :])
+                          & (rc[:, None] == hc[None, :]), axis=1)
+        keep = jnp.argsort(collide.astype(jnp.int32), stable=True)[:num_rand]
+        rows = jnp.concatenate([hr, rr[keep]])
+        cols = jnp.concatenate([hc, rc[keep]])
+    else:
+        rows, cols = hr, hc
+
+    return rows.astype(jnp.int32), cols.astype(jnp.int32)
 
 
 def hard_count(num_candidates: int, num_negatives: int) -> int:

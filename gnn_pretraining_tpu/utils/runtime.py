@@ -25,6 +25,35 @@ def setup_jax(cache_dir: Path | None = None) -> None:
         pass  # older jaxlib without the knobs
 
 
+def rss_gb() -> float:
+    """Current resident set size of this process in GiB (linux)."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * os.sysconf("SC_PAGE_SIZE") / 2**30
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
+def maybe_clear_caches(threshold_gb: float = 32.0) -> bool:
+    """Drop jit/executable caches when host RSS crosses ``threshold_gb``.
+
+    The in-process sweep drivers trace fresh programs per cell (new data
+    closures each time), so executable caches only grow; the round-2 pretrain
+    sweep leaked to 128 GB host RSS and was OOM-killed at cell 24/24.
+    Clearing is safe — the persistent on-disk compile cache (``setup_jax``)
+    makes any re-trace cheap — but not free, so it is gated on actual memory
+    pressure rather than run per cell.
+    """
+    import gc
+
+    if rss_gb() < threshold_gb:
+        return False
+    jax.clear_caches()
+    gc.collect()
+    return True
+
+
 def maybe_init_distributed() -> None:
     """Multi-host bring-up (SURVEY.md §5): call before first jax use when the
     standard cluster env vars are present; single-host runs skip silently."""

@@ -14,7 +14,11 @@ import traceback
 from typing import List, Tuple
 
 from gnn_pretraining_tpu import config
-from gnn_pretraining_tpu.utils.runtime import maybe_init_distributed, setup_jax
+from gnn_pretraining_tpu.utils.runtime import (
+    maybe_clear_caches,
+    maybe_init_distributed,
+    setup_jax,
+)
 from gnn_pretraining_tpu.finetune.finetune import finetune
 
 
@@ -41,6 +45,28 @@ def cell_completed(cfg, args) -> bool:
     return _check(path, expected)
 
 
+def pretrain_ready(scheme: str, seed: int, args) -> bool:
+    """Guard: a fine-tune cell must not consume an incomplete pretrain
+    checkpoint. ``model_<scheme>_<seed>.msgpack`` is written at every new
+    best-val epoch, so the file exists even when the pretrain run crashed
+    mid-way (observed: s5_126 OOM-killed at epoch 37/50 left a checkpoint the
+    sweep silently fine-tuned from). Accept only checkpoints whose pretrain
+    summary carries a matching completed fidelity block."""
+    if scheme == "b1":  # from-scratch — no pretrained checkpoint involved
+        return True
+    from gnn_pretraining_tpu.utils.fidelity import (
+        cell_completed as _check,
+        fidelity_block,
+    )
+
+    pcfg = config.PretrainConfig(exp_name=scheme, seed=seed)
+    path = (config.METRICS_DIR / config.PRETRAIN_PROJECT_NAME
+            / f"{pcfg.run_name}.summary.json")
+    expected = fidelity_block(config.PRETRAIN_EPOCHS, seed, args.aggregation,
+                              None, pcfg.pretrain_domains)
+    return _check(path, expected)
+
+
 def full_grid() -> List[Tuple[str, str, str, int]]:
     return [(d, st, sc, seed)
             for d in config.FINETUNE_DOMAINS
@@ -61,6 +87,11 @@ def run_grid(grid, args) -> None:
         if args.resume and cell_completed(cfg, args):
             print(f"[{i+1}/{len(grid)}] {cfg.run_name}: already complete, skipping")
             continue
+        if not pretrain_ready(scheme, seed, args):
+            failed.append(cfg.run_name)
+            print(f"[{i+1}/{len(grid)}] {cfg.run_name}: SKIPPED — pretrain "
+                  f"{scheme}_{seed} has no completed-fidelity marker")
+            continue
         t0 = time.time()
         try:
             res = finetune(cfg, aggregation=args.aggregation,
@@ -73,6 +104,8 @@ def run_grid(grid, args) -> None:
             traceback.print_exc()
             failed.append(cfg.run_name)
             print(f"[{i+1}/{len(grid)}] {cfg.run_name}: FAILED")
+        if maybe_clear_caches():
+            print(f"[{i+1}/{len(grid)}] cleared jit caches (host RSS bound)")
     if failed:
         print(f"\n{len(failed)} failed runs: {failed}")
     else:

@@ -16,7 +16,11 @@ import time
 import traceback
 
 from gnn_pretraining_tpu import config
-from gnn_pretraining_tpu.utils.runtime import maybe_init_distributed, setup_jax
+from gnn_pretraining_tpu.utils.runtime import (
+    maybe_clear_caches,
+    maybe_init_distributed,
+    setup_jax,
+)
 from gnn_pretraining_tpu.pretrain.pretrain import pretrain
 
 
@@ -71,6 +75,8 @@ def run_sweep(args) -> None:
             traceback.print_exc()
             failed.append(cfg.run_name)
             print(f"[{i+1}/{len(grid)}] {cfg.run_name}: FAILED")
+        if maybe_clear_caches():
+            print(f"[{i+1}/{len(grid)}] cleared jit caches (host RSS bound)")
     if failed:
         print(f"\n{len(failed)} failed runs: {failed}")
     else:
