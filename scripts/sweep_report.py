@@ -8,6 +8,9 @@ pretraining 24 runs ~17 GPU-h, fine-tuning 324 runs ~24 GPU-h on one
 NVIDIA L4; BASELINE.md:49).
 
 Run: python scripts/sweep_report.py /tmp/sweep.log
+An interrupted-and-resumed sweep spans several logs; pass them all in order
+(``... sweep_phase1.log sweep.log``) — phase wall-clock windows are summed
+across logs and rerun cells keep their latest timing.
 """
 
 import json
@@ -20,30 +23,42 @@ REF = {"pretrain_runs": 24, "pretrain_hours": 17.0,
 
 
 def parse(log_path: str):
+    """One log's phase windows (seconds) and per-cell timings."""
     text = Path(log_path).read_text()
-    phases = {}
+    stamps = {}
     for m in re.finditer(r"=== (\w+) sweep (start|end) .*?epoch=(\d+)", text):
-        phases[(m.group(1), m.group(2))] = int(m.group(3))
+        stamps[(m.group(1), m.group(2))] = int(m.group(3))
     cells = re.findall(r"\[(\d+)/(\d+)\] (\S+): (?:.*?)\((\d+)s\)", text)
     per_phase = {"pretrain": [], "finetune": []}
     for i, n, run, secs in cells:
         phase = "pretrain" if int(n) == 24 else "finetune"
         per_phase[phase].append((run, int(secs)))
-    return phases, per_phase
+    windows = {}
+    for phase in ("pretrain", "finetune"):
+        t0, t1 = stamps.get((phase, "start")), stamps.get((phase, "end"))
+        if t0 and t1:
+            windows[phase] = t1 - t0
+        elif t0 is not None:
+            # killed mid-phase: bill the time its cells actually ran
+            windows[phase] = sum(s for _, s in per_phase[phase])
+    return windows, per_phase
 
 
 def main():
-    log = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sweep.log"
-    phases, per_phase = parse(log)
+    logs = sys.argv[1:] or ["/tmp/sweep.log"]
+    wall = {"pretrain": 0, "finetune": 0}
+    cells = {"pretrain": {}, "finetune": {}}   # latest timing wins on rerun
+    for log in logs:
+        windows, per_phase = parse(log)
+        for phase in wall:
+            wall[phase] += windows.get(phase, 0)
+            cells[phase].update(per_phase[phase])
     out = {}
     for phase in ("pretrain", "finetune"):
-        runs = per_phase[phase]
-        t0 = phases.get((phase, "start"))
-        t1 = phases.get((phase, "end"))
-        wall_s = (t1 - t0) if (t0 and t1) else sum(s for _, s in runs)
+        runs = sorted(cells[phase].items())
         out[phase] = {
             "cells_completed": len(runs),
-            "wall_hours": round(wall_s / 3600.0, 3),
+            "wall_hours": round(wall[phase] / 3600.0, 3),
             "mean_cell_s": round(sum(s for _, s in runs) / max(len(runs), 1), 1),
             "max_cell": max(runs, key=lambda kv: kv[1]) if runs else None,
         }
