@@ -147,6 +147,30 @@ def main():
 
     check("two-stage exact top-k == flat", topk_parity)
 
+    # -- 3b. streaming miner -----------------------------------------------
+    def streaming_miner_parity():
+        from gnn_pretraining_tpu.finetune.mining import (
+            build_forbidden_mask,
+            mine_hard_negatives_streaming,
+        )
+
+        rng = np.random.default_rng(3)
+        n = 8192
+        emb = jnp.asarray(rng.normal(size=(n, 128)), jnp.float32)
+        forbidden = build_forbidden_mask(n, rng.integers(0, n, size=(2, 20000)))
+        key = jax.random.PRNGKey(5)
+        outs = [jax.device_get(mine_hard_negatives_streaming(
+                    emb, forbidden, key, num_negatives=1024, num_hard=512,
+                    row_block=rb)) for rb in (512, 2048)]
+        hard = [set(zip(s[:512].tolist(), r[:512].tolist())) for s, r in outs]
+        assert hard[0] == hard[1], "hard set differs across row blocks"
+        fb = np.asarray(jax.device_get(forbidden))
+        for s, r in outs:
+            assert not fb[s, r].any()
+            assert len(set(zip(s.tolist(), r.tolist()))) == 1024
+
+    check("streaming miner block-size invariance + validity", streaming_miner_parity)
+
     # -- 4. pretrain chunk step (s5) ---------------------------------------
     def pretrain_step():
         from gnn_pretraining_tpu import config
