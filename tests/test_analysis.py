@@ -76,3 +76,53 @@ class TestTables:
     def test_primary_metric_lp_is_auc(self):
         assert analysis.primary_metric("Cora_LP") == "auc"
         assert analysis.primary_metric("ENZYMES") == "accuracy"
+
+
+sweep_report = _load("sr", ROOT / "scripts" / "sweep_report.py")
+
+
+class TestSweepReport:
+    """Multi-log merge: an interrupted sweep spans several logs; phase
+    windows sum across logs and rerun cells keep their latest timing."""
+
+    PHASE1 = """=== pretrain sweep start x epoch=1000 ===
+[1/24] b2_42: best_val=0.9 (600s)
+[2/24] s5_126: FAILED
+=== pretrain sweep end x epoch=1700 ===
+=== finetune sweep start x epoch=1700 ===
+[1/324] ENZYMES_full_finetune_b1_42: test/accuracy=0.7 (80s)
+[2/324] ENZYMES_full_finetune_s5_126: test/accuracy=0.7 (50s)
+"""
+    PHASE2 = """=== pretrain sweep start x epoch=2000 ===
+[1/24] b2_42: already complete, skipping
+[2/24] s5_126: best_val=0.8 (400s)
+=== pretrain sweep end x epoch=2450 ===
+=== finetune sweep start x epoch=2450 ===
+[1/324] ENZYMES_full_finetune_b1_42: already complete, skipping
+[2/324] ENZYMES_full_finetune_s5_126: test/accuracy=0.7 (60s)
+=== finetune sweep end x epoch=2650 ===
+"""
+
+    def _logs(self, tmp):
+        p1, p2 = tmp / "p1.log", tmp / "p2.log"
+        p1.write_text(self.PHASE1)
+        p2.write_text(self.PHASE2)
+        return p1, p2
+
+    def test_windows_sum_and_rerun_keeps_latest(self, tmp_path, monkeypatch, capsys):
+        p1, p2 = self._logs(tmp_path)
+        monkeypatch.chdir(tmp_path)
+        monkeypatch.setattr(sys, "argv", ["sweep_report.py", str(p1), str(p2)])
+        sweep_report.main()
+        out = json.loads((tmp_path / "analysis/results/sweep_wallclock.json")
+                         .read_text())
+        # pretrain: (1700-1000) + (2450-2000) = 1150 s (rounded to 3 dp)
+        np.testing.assert_allclose(out["pretrain"]["wall_hours"],
+                                   round(1150 / 3600, 3))
+        assert out["pretrain"]["cells_completed"] == 2
+        # killed finetune phase 1 billed by its cells (130 s) + window (200 s)
+        np.testing.assert_allclose(out["finetune"]["wall_hours"],
+                                   round(330 / 3600, 3))
+        # rerun cell keeps the phase-2 timing
+        assert out["finetune"]["max_cell"] == ["ENZYMES_full_finetune_b1_42", 80]
+        assert dict([out["pretrain"]["max_cell"]])["b2_42"] == 600
