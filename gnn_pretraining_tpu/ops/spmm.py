@@ -137,15 +137,21 @@ def _spmm_kernel(eps_ref, a_ref, h_ref, hd_ref, out_ref, acc_ref, *,
 @functools.partial(jax.jit,
                    static_argnames=("bm", "bn", "bk", "mode", "transpose_a"))
 def _spmm_fwd_impl(adj: jnp.ndarray, h: jnp.ndarray, eps: jnp.ndarray,
-                   bm: int = 256, bn: int = 256, bk: int = 512,
-                   mode: str = "split",
+                   bm: int | None = None, bn: int | None = None,
+                   bk: int | None = None, mode: str = "split",
                    transpose_a: bool = False) -> jnp.ndarray:
     n0, f0 = h.shape
-    # Single-pass K when the whole contraction fits comfortably in VMEM —
+    # Defaults (explicit args win — scripts/tune_spmm.py scans alternatives):
+    # single-pass K when the whole contraction fits comfortably in VMEM —
     # measured ~25% faster than accumulating over K tiles on v5e (no
     # accumulator read-modify-write, better pipelining).
-    if n0 <= 4096:
-        bm, bk = 128, _round_up(n0, 128)
+    if bn is None:
+        bn = 256
+    if bm is None or bk is None:
+        if n0 <= 4096:
+            bm, bk = bm or 128, bk or _round_up(n0, 128)
+        else:
+            bm, bk = bm or 256, bk or 512
     # Every block dim must be a multiple of 128 (Mosaic requires the last two
     # block dims divisible by (8, 128); bm is the LAST dim of the transposed
     # A block), and bk a multiple of bm so the pad never exceeds one bk.
