@@ -434,17 +434,19 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
                 probs[j][valid], float(loss[j]), split))
         return rows
 
-    for chunk_start in range(0, epochs, E):
-        t_chunk = time.time()
-        state, (tlogs, vlogs) = run_epochs(state, train_stack, val_stack,
-                                           aux, base_key,
-                                           jnp.int32(chunk_start),
-                                           jnp.int32(E))
-        tlogs, vlogs = jax.device_get((tlogs, vlogs))
+    # One-chunk-deep pipeline: dispatch chunk k+1 (async — JAX returns device
+    # futures) BEFORE host-processing chunk k's logs, so the Python/sklearn
+    # metric loop below overlaps the next chunk's device execution instead of
+    # serializing with it. On the LP domains (300 epochs x 33 steps of
+    # per-step sklearn rows through the relay) the host loop is comparable to
+    # the device time, so this nearly halves wall-clock. When early stopping
+    # fires mid-pipeline the already-dispatched chunk is discarded unprocessed
+    # (its metrics are never logged; pass-2 replay rebuilds exact state).
+    def process_chunk(chunk_start, fetched, per_step_wall):
+        nonlocal best_val, best_epoch, esi, stop_epoch, global_step, epoch
+        nonlocal stopped
+        tlogs, vlogs = fetched
         chunk_epochs = min(E, epochs - chunk_start)
-        # fused steps have no individual wall time; report the chunk-amortized
-        # per-step time under the reference's train/system/time_per_step key
-        per_step_wall = (time.time() - t_chunk) / (E * max(steps_per_epoch, 1))
         for e in range(chunk_epochs):
             epoch = chunk_start + e + 1
             # train rows (per step), reference namespace
@@ -479,9 +481,31 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
             if esi >= patience:
                 stop_epoch = epoch
                 stopped = True
+                return
+
+    pending = None  # (chunk_start, device logs, dispatch wall time)
+    for chunk_start in range(0, epochs, E):
+        t_chunk = time.time()
+        state, logs = run_epochs(state, train_stack, val_stack, aux,
+                                 base_key, jnp.int32(chunk_start),
+                                 jnp.int32(E))
+        if pending is not None:
+            prev_start, prev_logs, prev_t = pending
+            # device_get returns when chunk k is done; chunk k+1 keeps
+            # computing while the host loop below runs.
+            fetched = jax.device_get(prev_logs)
+            per_step_wall = ((time.time() - prev_t)
+                             / (E * max(steps_per_epoch, 1)))
+            process_chunk(prev_start, fetched, per_step_wall)
+            if stopped:
+                pending = None
                 break
-        if stopped:
-            break
+        pending = (chunk_start, logs, t_chunk)
+    if pending is not None and not stopped:
+        prev_start, prev_logs, prev_t = pending
+        fetched = jax.device_get(prev_logs)
+        per_step_wall = (time.time() - prev_t) / (E * max(steps_per_epoch, 1))
+        process_chunk(prev_start, fetched, per_step_wall)
 
     # ---- pass 2: deterministic replay to the best epoch ------------------
     state_best = state0

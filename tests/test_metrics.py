@@ -53,3 +53,50 @@ class TestBatchMetrics:
         probs = np.eye(3)[pred] * 0.8 + 0.1
         m = M.compute_batch_metrics("ENZYMES", y, pred, probs, 0.2, "test")
         assert 0.0 < m["test/f1"] <= 1.0
+
+
+class TestFastBinaryParity:
+    """The closed-form binary metrics must equal sklearn bit-for-bit-ish
+    (<=1e-12): they replaced per-step sklearn calls in the fused loop."""
+
+    def test_random_cases_match_sklearn(self):
+        from sklearn.metrics import (
+            accuracy_score, f1_score, precision_score, recall_score,
+            roc_auc_score)
+
+        rng = np.random.default_rng(0)
+        for trial in range(50):
+            n = int(rng.integers(2, 400))
+            y = rng.integers(0, 2, n)
+            pred = rng.integers(0, 2, n)
+            # heavy ties: quantized probabilities
+            prob1 = np.round(rng.random(n), int(rng.integers(0, 3)))
+            probs = np.stack([1 - prob1, prob1], axis=1)
+            m = M.compute_batch_metrics("Cora_LP", y, pred, probs, 0.3, "val")
+            assert m["val/accuracy"] == accuracy_score(y, pred)
+            assert abs(m["val/f1"] - f1_score(y, pred, zero_division=0)) < 1e-12
+            assert abs(m["val/precision"]
+                       - precision_score(y, pred, zero_division=0)) < 1e-12
+            assert abs(m["val/recall"]
+                       - recall_score(y, pred, zero_division=0)) < 1e-12
+            if len(np.unique(y)) == 2:
+                assert abs(m["val/auc"] - roc_auc_score(y, prob1)) < 1e-12
+            else:
+                assert m["val/auc"] == 0.0
+
+    def test_degenerate_predictions(self):
+        from sklearn.metrics import roc_auc_score
+
+        y = np.array([0, 1, 0, 1])
+        pred = np.zeros(4, np.int64)            # no positive predictions
+        probs = np.stack([np.ones(4) * 0.5, np.ones(4) * 0.5], axis=1)
+        m = M.compute_batch_metrics("CiteSeer_LP", y, pred, probs, 0.1, "t")
+        assert m["t/precision"] == 0.0 and m["t/f1"] == 0.0  # zero_division=0
+        assert m["t/auc"] == roc_auc_score(y, probs[:, 1])   # all-tied = 0.5
+
+    def test_nan_probabilities_record_zero_auc(self):
+        y = np.array([0, 1, 0, 1])
+        pred = np.array([0, 1, 0, 1])
+        probs = np.stack([np.zeros(4), np.full(4, np.nan)], axis=1)
+        m = M.compute_batch_metrics("Cora_LP", y, pred, probs, 0.1, "t")
+        assert m["t/auc"] == 0.0  # sklearn raises ValueError -> reference logs 0.0
