@@ -484,11 +484,13 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
                 return
 
     pending = None  # (chunk_start, device logs, dispatch wall time)
+    chunk_states = {0: state0}  # state at the START of each chunk (on device)
     for chunk_start in range(0, epochs, E):
         t_chunk = time.time()
         state, logs = run_epochs(state, train_stack, val_stack, aux,
                                  base_key, jnp.int32(chunk_start),
                                  jnp.int32(E))
+        chunk_states[chunk_start + E] = state
         if pending is not None:
             prev_start, prev_logs, prev_t = pending
             # device_get returns when chunk k is done; chunk k+1 keeps
@@ -508,12 +510,17 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
         process_chunk(prev_start, fetched, per_step_wall)
 
     # ---- pass 2: deterministic replay to the best epoch ------------------
-    state_best = state0
-    for chunk_start in range(0, best_epoch, E):
-        limit = min(best_epoch - chunk_start, E)
+    # Chunk-boundary states were kept on device during pass 1 (keys derive by
+    # fold_in of ABSOLUTE epoch/step indices, so resuming mid-run is
+    # bit-exact), so only the final partial chunk re-runs — not the whole
+    # history. The masked-update replay itself is invariance-tested in
+    # tests/test_fused_finetune.py.
+    last_boundary = (best_epoch // E) * E  # == best_epoch when on a boundary
+    state_best = chunk_states[last_boundary]
+    if best_epoch > last_boundary:
         state_best, _ = run_epochs(state_best, train_stack, val_stack, aux,
-                                   base_key, jnp.int32(chunk_start),
-                                   jnp.int32(limit))
+                                   base_key, jnp.int32(last_boundary),
+                                   jnp.int32(best_epoch - last_boundary))
     params_b, stats_b, _ = state_best
     save_checkpoint(ckpt_path, params_b, stats_b, best_epoch,
                     {sel_key: best_val})
