@@ -92,6 +92,8 @@ def run_grid(grid, args) -> None:
             print(f"[{i+1}/{len(grid)}] {cfg.run_name}: SKIPPED — pretrain "
                   f"{scheme}_{seed} has no completed-fidelity marker")
             continue
+        # start marker keeps the log fresh for the staleness watchdog
+        print(f"[{i+1}/{len(grid)}] {cfg.run_name}: starting", flush=True)
         t0 = time.time()
         try:
             res = finetune(cfg, aggregation=args.aggregation,
