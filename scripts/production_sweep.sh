@@ -11,6 +11,15 @@
 set -uo pipefail
 cd /root/repo
 
+# Bail out (nonzero, no "done" marker) when the TPU relay is unreachable so
+# the watchdog keeps retrying instead of cascading crashed phases into a
+# bogus completion. The probe itself can hang on a half-open tunnel, hence
+# the timeout.
+if ! timeout 180 python -c "import jax; assert jax.default_backend() == 'tpu'" 2>/dev/null; then
+    echo "=== TPU unreachable $(date -u +%FT%TZ) — aborting this pass ==="
+    exit 1
+fi
+
 echo "=== pretrain sweep start $(date -u +%FT%TZ) epoch=$(date +%s) ==="
 python run_pretrain.py --sweep --resume --no_wandb
 echo "=== pretrain sweep end $(date -u +%FT%TZ) epoch=$(date +%s) ==="

@@ -35,5 +35,5 @@ while true; do
     echo "watchdog: sweep completed $(date -u +%FT%TZ)"
     break
   fi
-  sleep 5
+  sleep 30   # backoff: with the relay down each pass fails fast
 done
