@@ -31,4 +31,5 @@ echo "=== finetune sweep end $(date -u +%FT%TZ) epoch=$(date +%s) ==="
 echo "=== analysis $(date -u +%FT%TZ) ==="
 python analysis/data_collection.py
 python analysis/data_analysis.py
+python scripts/parity_report.py
 echo "=== done $(date -u +%FT%TZ) epoch=$(date +%s) ==="
