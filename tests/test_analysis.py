@@ -126,3 +126,54 @@ class TestSweepReport:
         # rerun cell keeps the phase-2 timing
         assert out["finetune"]["max_cell"] == ["ENZYMES_full_finetune_b1_42", 80]
         assert dict([out["pretrain"]["max_cell"]])["b2_42"] == 600
+
+
+parity = _load("pr", ROOT / "scripts" / "parity_report.py")
+
+
+class TestParityReport:
+    def _csv(self, path, rows, ref_names=False):
+        cols = (["domain_name", "finetune_strategy", "pretrained_scheme"]
+                if ref_names else ["domain", "strategy", "scheme"])
+        df = pd.DataFrame(rows, columns=cols + ["seed", "accuracy", "auc",
+                                                "training_time"])
+        df.to_csv(path, index=False)
+
+    def test_gains_and_merge(self, tmp_path, monkeypatch):
+        ours = tmp_path / "ours.csv"
+        ref = tmp_path / "ref.csv"
+        # two seeds per cell; ENZYMES metric = accuracy
+        self._csv(ours, [
+            ["ENZYMES", "full_finetune", "b1", 42, 0.50, 0.9, 10.0],
+            ["ENZYMES", "full_finetune", "b1", 84, 0.60, 0.9, 10.0],
+            ["ENZYMES", "full_finetune", "s1", 42, 0.66, 0.9, 10.0],
+        ])
+        self._csv(ref, [
+            ["ENZYMES", "full_finetune", "b1", 42, 0.40, 0.9, 20.0],
+            ["ENZYMES", "full_finetune", "s1", 42, 0.50, 0.9, 20.0],
+            # cell missing on the TPU side must survive the outer merge
+            ["ENZYMES", "linear_probe", "b1", 42, 0.30, 0.9, 20.0],
+        ], ref_names=True)
+        monkeypatch.setattr(parity, "RESULTS", tmp_path)
+        monkeypatch.setattr(parity, "REF_CSV", ref)
+        (tmp_path / "experiment_results.csv").write_text(ours.read_text())
+        rep = parity.build_report().set_index(["strategy", "scheme"])
+
+        row = rep.loc[("full_finetune", "s1")]
+        np.testing.assert_allclose(row.value_tpu, 0.66)
+        # gain vs the mean-over-seeds b1: (0.66 - 0.55) / 0.55
+        np.testing.assert_allclose(row.gain_vs_b1_tpu, 0.11 / 0.55)
+        np.testing.assert_allclose(row.gain_vs_b1_ref, 0.1 / 0.4)
+        lp = rep.loc[("linear_probe", "b1")]
+        assert pd.isna(lp.value_tpu) and lp.value_ref == 0.30
+
+    def test_lp_metric_is_auc(self, tmp_path, monkeypatch):
+        rows = [["Cora_LP", "full_finetune", "b1", 42, 0.99, 0.08, 5.0]]
+        self._csv(tmp_path / "experiment_results.csv", rows)
+        ref = tmp_path / "ref.csv"
+        self._csv(ref, rows, ref_names=True)
+        monkeypatch.setattr(parity, "RESULTS", tmp_path)
+        monkeypatch.setattr(parity, "REF_CSV", ref)
+        rep = parity.build_report()
+        assert (rep.metric == "auc").all()
+        np.testing.assert_allclose(rep.value_tpu, 0.08)
