@@ -1,0 +1,99 @@
+"""Empirical dense-vs-sparse aggregation crossover scan (VERDICT r1 weak #4).
+
+The framework's training-path aggregation is *dense*: the padded adjacency is
+materialized once per batch and `A @ H` rides the MXU (`ops/spmm.py`,
+`spmm_pallas` / `gin_aggregate_dense`). At Cora scale this is the right TPU
+call even though the graph is 0.14% dense — per-edge the kernel does ~700x
+redundant MACs, but the MXU's bf16 throughput dwarfs the VPU scatter path.
+That stops being true at some N: dense work grows as N^2*F while the COO
+`segment_sum` path grows as E*F = d*N*F at fixed average degree d.
+
+This scan measures both paths fwd+bwd across N at Cora-like degree (d≈3.9)
+and prints the measured crossover, one JSON line per size. Run on the real
+chip (plain `python`); on CPU it still runs but the numbers are meaningless
+for the TPU design question.
+
+Usage: python scripts/crossover_scan.py [--feat 256] [--degree 3.9]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def scan(sizes, feat, degree):
+    import jax
+    import jax.numpy as jnp
+
+    from gnn_pretraining_tpu.ops.spmm import (
+        build_dense_adjacency,
+        gin_aggregate_coo,
+        spmm_pallas,
+    )
+    from gnn_pretraining_tpu.utils.profiling import slope_time
+
+    eps = jnp.float32(0.1)
+    rows = []
+    for n in sizes:
+        e = int(degree * n)
+        rng = np.random.default_rng(n)
+        senders = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+        receivers = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+        edge_mask = jnp.ones(e, jnp.float32)
+        h = jnp.asarray(rng.normal(size=(n, feat)).astype(np.float32))
+        adj = build_dense_adjacency(senders, receivers, edge_mask, n)
+
+        def fwd_bwd_dense(x):
+            out, vjp = jax.vjp(lambda hh: spmm_pallas(adj, hh, eps), x)
+            return vjp(out)[0]
+
+        def fwd_bwd_coo(x):
+            out, vjp = jax.vjp(
+                lambda hh: gin_aggregate_coo(hh, senders, receivers,
+                                             edge_mask, eps), x)
+            return vjp(out)[0]
+
+        def timed(fn):
+            stepped = jax.jit(lambda x, iters: jnp.sum(jax.lax.fori_loop(
+                0, iters, lambda _, xx: fn(xx), x)))
+            def run(iters):
+                return lambda: stepped(h, iters)
+            return slope_time(run)
+
+        t_dense, t_coo = timed(fwd_bwd_dense), timed(fwd_bwd_coo)
+        row = {
+            "n": n, "e": e, "feat": feat,
+            "dense_edges_per_s": round(e / t_dense, 1),
+            "coo_edges_per_s": round(e / t_coo, 1),
+            "dense_over_coo": round(t_coo / t_dense, 3),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    cross = next((r["n"] for r in rows if r["dense_over_coo"] < 1.0), None)
+    print(json.dumps({"crossover_n": cross,
+                      "note": ("dense wins at every scanned size"
+                               if cross is None else
+                               f"COO overtakes dense at N>={cross}")}))
+    return rows
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--feat", type=int, default=256)
+    p.add_argument("--degree", type=float, default=3.9)
+    p.add_argument("--sizes", type=int, nargs="*",
+                   default=[1024, 2048, 4096, 8192, 16384, 32768])
+    args = p.parse_args()
+    scan(args.sizes, args.feat, args.degree)
+
+
+if __name__ == "__main__":
+    main()
