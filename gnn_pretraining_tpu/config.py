@@ -196,6 +196,17 @@ FINETUNE_EPOCHS: Dict[str, int] = {
 HARD_NEGATIVE_RATIO = 0.3
 MIN_HARD_NEGATIVES = 8
 FINETUNE_PATIENCE_FRACTION = 0.5
+# Net-new (no reference analogue). Above this node count the LP miner's
+# [N, N] similarity/Gumbel buffers stop being a rounding error and mining
+# dispatches to the streaming fused masked-SDDMM + top-k path
+# (finetune/mining.py) with O(row_block * N) peak memory; the hard set is
+# exact either way, but the two paths consume PRNG randomness differently,
+# so this threshold is behaviour-affecting for a given key.
+STREAMING_MINER_MIN_NODES = 8192
+# Net-new: offset folded into the seed for the fused fine-tune runner's
+# per-(epoch, step) key stream (finetune/runners.py). Any change breaks the
+# bit-exact pass-2 replay of runs recorded under the old stream.
+FINETUNE_KEY_OFFSET = 7919
 
 FINETUNE_DOMAINS: Tuple[str, ...] = (
     "ENZYMES", "PTC_MR", "Cora_NC", "CiteSeer_NC", "Cora_LP", "CiteSeer_LP",

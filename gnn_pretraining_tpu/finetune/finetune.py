@@ -49,7 +49,10 @@ from gnn_pretraining_tpu.models.finetune_model import (
 )
 from gnn_pretraining_tpu.ops.spmm import build_dense_adjacency
 from gnn_pretraining_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
-from gnn_pretraining_tpu.utils.losses import masked_bce_with_logits_mean
+from gnn_pretraining_tpu.utils.losses import (
+    bce_with_logits,
+    masked_bce_with_logits_mean,
+)
 from gnn_pretraining_tpu.utils.logging import MetricLogger
 
 
@@ -142,9 +145,7 @@ def make_gc_steps(model, cfg, optimizer, labels):
 
     def loss_from_logits(logits, y, mask):
         if binary:
-            z = logits[:, 1]
-            yf = y.astype(jnp.float32)
-            per = jnp.maximum(z, 0) - z * yf + jnp.log1p(jnp.exp(-jnp.abs(z)))
+            per = bce_with_logits(logits[:, 1], y, clamp=False)
         else:
             logp = jax.nn.log_softmax(logits, axis=-1)
             per = -jnp.take_along_axis(logp, y[:, None].astype(jnp.int32),
@@ -203,9 +204,7 @@ def make_nc_steps(model, cfg, optimizer, labels, graph, adj):
     def loss_from_logits(logits, node_idx, y):
         sel = logits[node_idx]
         if binary:
-            z = sel[:, 1]
-            yf = y.astype(jnp.float32)
-            per = jnp.maximum(z, 0) - z * yf + jnp.log1p(jnp.exp(-jnp.abs(z)))
+            per = bce_with_logits(sel[:, 1], y, clamp=False)
         else:
             logp = jax.nn.log_softmax(sel, axis=-1)
             per = -jnp.take_along_axis(logp, y[:, None].astype(jnp.int32),
@@ -536,8 +535,11 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
                                           jnp.asarray(g.receivers),
                                           jnp.asarray(g.edge_mask),
                                           g.num_nodes, dtype=adj_dtype)
-        forbidden = build_forbidden_mask(g.num_nodes, train_edges)
-        n_cand = candidate_count(g.num_nodes, train_edges)
+        real_n = int(np.asarray(g.node_mask).sum())
+        forbidden = build_forbidden_mask(g.num_nodes, train_edges,
+                                         node_mask=g.node_mask)
+        n_cand = candidate_count(g.num_nodes, train_edges,
+                                 num_real_nodes=real_n)
         num_hard = hard_count(n_cand, cfg.batch_size)
         if edge_parallel and len(jax.devices()) > 1:
             from gnn_pretraining_tpu.finetune.edge_parallel import (

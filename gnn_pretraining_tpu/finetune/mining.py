@@ -23,21 +23,23 @@ from gnn_pretraining_tpu.ops.sddmm import cosine_similarity_matrix, l2_normalize
 from gnn_pretraining_tpu.ops.topk import exact_top_k
 
 
-def candidate_count(num_nodes: int, train_edges) -> int:
-    """Number of candidate (ordered, non-self, non-edge) pairs — static."""
+def candidate_count(num_nodes: int, train_edges,
+                    num_real_nodes: int | None = None) -> int:
+    """Number of candidate (ordered, non-self, non-edge) pairs — static.
+
+    ``num_real_nodes`` (≤ ``num_nodes``) counts only un-padded rows: the
+    reference mines over the real graph (finetune.py:47-48), so pairs that
+    touch a padding row are not candidates.
+    """
     import numpy as np
 
+    n = num_nodes if num_real_nodes is None else num_real_nodes
     te = np.asarray(train_edges)
     pairs = {(int(u), int(v)) for u, v in te.T}
     pairs |= {(v, u) for u, v in pairs}
     pairs -= {(u, u) for u, _ in pairs}
     off_diag_links = len(pairs)
-    return num_nodes * num_nodes - num_nodes - off_diag_links
-
-
-# Above this node count the [N, N] similarity/gumbel buffers stop being a
-# rounding error; the streaming miner caps peak memory at O(block·N).
-_STREAMING_MIN_NODES = 8192
+    return n * n - n - off_diag_links
 
 
 @functools.partial(jax.jit, static_argnames=("num_negatives", "num_hard"))
@@ -56,7 +58,7 @@ def mine_hard_negatives(embeddings: jnp.ndarray, forbidden: jnp.ndarray,
       (senders, receivers): [num_negatives] global node ids.
     """
     n = embeddings.shape[0]
-    if n >= _STREAMING_MIN_NODES:
+    if n >= config.STREAMING_MINER_MIN_NODES:
         return mine_hard_negatives_streaming(embeddings, forbidden, key,
                                              num_negatives=num_negatives,
                                              num_hard=num_hard)
@@ -69,8 +71,12 @@ def mine_hard_negatives(embeddings: jnp.ndarray, forbidden: jnp.ndarray,
     num_rand = num_negatives - num_hard
     if num_rand > 0:
         # Uniform without replacement over allowed minus hard: Gumbel top-k.
+        # Both orientations of each hard pair leave the pool, as in the
+        # reference (finetune.py:84-86 clears [src,dst] AND [dst,src]).
         gumbel = jax.random.gumbel(key, (n * n,))
-        avail = allowed.reshape(-1).at[hard_idx].set(False)
+        rev_idx = (hard_idx % n) * n + hard_idx // n
+        avail = (allowed.reshape(-1).at[hard_idx].set(False)
+                 .at[rev_idx].set(False))
         _, rand_idx = exact_top_k(jnp.where(avail, gumbel, -jnp.inf), num_rand)
         idx = jnp.concatenate([hard_idx, rand_idx])
     else:
@@ -96,14 +102,16 @@ def mine_hard_negatives_streaming(embeddings: jnp.ndarray,
     to the dense path's ``exact_top_k`` over the full matrix.
 
     The uniform remainder also streams: per-block Gumbel noise over *allowed*
-    slots (hard slots included), global top-``num_negatives`` candidates,
-    then hard-set collisions are dropped and the first ``num_rand`` survivors
-    kept. Ranking i.i.d. Gumbels is a uniform random permutation, and
-    deleting elements from a uniform permutation leaves a uniform permutation
-    of the rest, so this is distributed exactly as the dense path's Gumbel
-    top-k over allowed-minus-hard (the sampled set differs per key, the
-    distribution does not). At most ``num_hard`` of the ``num_negatives``
-    candidates can collide, so ≥ ``num_rand`` always survive.
+    slots (hard slots included), a global top-(``num_rand + 2·num_hard``)
+    candidate pool, then collisions with the hard set — either orientation,
+    as in the reference (finetune.py:84-86) — are dropped and the first
+    ``num_rand`` survivors kept. Ranking i.i.d. Gumbels is a uniform random
+    permutation, and deleting elements from a uniform permutation leaves a
+    uniform permutation of the rest, so this is distributed exactly as the
+    dense path's Gumbel top-k over allowed-minus-hard-and-reverses (the
+    sampled set differs per key, the distribution does not). At most
+    ``2·num_hard`` of the candidates can collide, so ≥ ``num_rand`` always
+    survive.
 
     Not a Mosaic in-kernel top-k by design: TPU Pallas has no sort/top-k
     primitive, and an iterative max-and-suppress loop over each tile would be
@@ -117,8 +125,9 @@ def mine_hard_negatives_streaming(embeddings: jnp.ndarray,
     zp = jnp.pad(z, ((0, pad), (0, 0)))
     fp = jnp.pad(forbidden, ((0, pad), (0, 0)), constant_values=True)
     num_rand = num_negatives - num_hard
+    num_cand = num_rand + 2 * num_hard
     kk = min(num_hard, row_block * n)
-    gk = min(num_negatives, row_block * n)
+    gk = min(num_cand, row_block * n)
 
     # Winners carry (value, block-local index); the local index stays below
     # row_block·n so everything fits int32 regardless of how large N² gets.
@@ -147,10 +156,12 @@ def mine_hard_negatives_streaming(embeddings: jnp.ndarray,
     hr, hc = decode(sel, res[1], kk)
 
     if num_rand > 0:
-        _, gsel = jax.lax.top_k(res[2].reshape(-1), num_negatives)
+        _, gsel = jax.lax.top_k(res[2].reshape(-1), num_cand)
         rr, rc = decode(gsel, res[3], gk)        # sorted by Gumbel, descending
-        collide = jnp.any((rr[:, None] == hr[None, :])
-                          & (rc[:, None] == hc[None, :]), axis=1)
+        collide = jnp.any(((rr[:, None] == hr[None, :])
+                           & (rc[:, None] == hc[None, :]))
+                          | ((rr[:, None] == hc[None, :])
+                             & (rc[:, None] == hr[None, :])), axis=1)
         keep = jnp.argsort(collide.astype(jnp.int32), stable=True)[:num_rand]
         rows = jnp.concatenate([hr, rr[keep]])
         cols = jnp.concatenate([hc, rc[keep]])
@@ -167,8 +178,15 @@ def hard_count(num_candidates: int, num_negatives: int) -> int:
     return min(nh, num_candidates, num_negatives)
 
 
-def build_forbidden_mask(num_nodes: int, train_edges) -> jnp.ndarray:
-    """[N, N] bool: undirected train edges + diagonal (reference :53-59)."""
+def build_forbidden_mask(num_nodes: int, train_edges,
+                         node_mask=None) -> jnp.ndarray:
+    """[N, N] bool: undirected train edges + diagonal (reference :53-59).
+
+    ``node_mask`` ([N] 0/1, optional) marks real rows of a padded batch;
+    pairs touching a padding row are forbidden too — the reference mines
+    over the real graph only, and padding embeddings (exactly zero after
+    masked BN) would otherwise enter the candidate pool.
+    """
     import numpy as np
 
     m = np.zeros((num_nodes, num_nodes), bool)
@@ -177,4 +195,8 @@ def build_forbidden_mask(num_nodes: int, train_edges) -> jnp.ndarray:
         m[te[0], te[1]] = True
         m[te[1], te[0]] = True
     np.fill_diagonal(m, True)
+    if node_mask is not None:
+        pad = np.asarray(node_mask) == 0
+        m[pad, :] = True
+        m[:, pad] = True
     return jnp.asarray(m)

@@ -61,8 +61,11 @@ def _masked_update(active, new_state, old_state):
 
 
 def _ce_or_bce(logits, y, mask, binary):
+    # Binary GC/NC matches the reference's un-clamped
+    # F.binary_cross_entropy_with_logits (finetune.py:153); the -100 clamp
+    # applies only to the LP BCE-on-probs paths.
     if binary:
-        per = bce_with_logits(logits[:, 1], y)
+        per = bce_with_logits(logits[:, 1], y, clamp=False)
     else:
         logp = jax.nn.log_softmax(logits, axis=-1)
         per = -jnp.take_along_axis(logp, y[:, None].astype(jnp.int32),
@@ -354,8 +357,11 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
                                     jnp.asarray(g.receivers),
                                     jnp.asarray(g.edge_mask), g.num_nodes,
                                     dtype=adj_dtype)
-        forbidden = jnp.asarray(build_forbidden_mask(g.num_nodes, train_edges))
-        num_hard = hard_count(candidate_count(g.num_nodes, train_edges),
+        real_n = int(np.asarray(g.node_mask).sum())
+        forbidden = jnp.asarray(build_forbidden_mask(g.num_nodes, train_edges,
+                                                     node_mask=g.node_mask))
+        num_hard = hard_count(candidate_count(g.num_nodes, train_edges,
+                                              num_real_nodes=real_n),
                               cfg.batch_size)
         train_one, eval_one = _lp_fns(model, cfg, optimizer, labels, num_hard)
         aux = {"graph": _graph_dict(g), "adj": adj, "forbidden": forbidden}
@@ -373,7 +379,7 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
 
     steps_per_epoch = jax.tree.leaves(train_stack)[0].shape[0]
     E = int(min(chunk_epochs, epochs))
-    base_key = jax.random.PRNGKey(cfg.seed + 7919)
+    base_key = jax.random.PRNGKey(cfg.seed + config.FINETUNE_KEY_OFFSET)
 
     def run_epochs(state, tr, va, ax, key, epoch0, limit):
         """Run E epochs from absolute epoch ``epoch0``; only the first
@@ -485,6 +491,24 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
 
     pending = None  # (chunk_start, device logs, dispatch wall time)
     chunk_states = {0: state0}  # state at the START of each chunk (on device)
+
+    def prune_chunk_states():
+        """Drop boundary states the pass-2 replay can no longer need.
+
+        A stored boundary b serves the replay only if the final best epoch
+        lands in [b, b+E). Epochs ≤ ``epoch`` are decided — of those chunks
+        only the current best's boundary can still win — while any future
+        best lies in a not-yet-processed chunk, whose boundary is ≥ the
+        frontier. Keeping {best boundary} ∪ {b ≥ frontier} bounds device
+        residency at ~3 states instead of epochs/E (VERDICT-style HBM
+        hygiene for 300-epoch LP runs).
+        """
+        frontier = (epoch // E) * E
+        keep = {(best_epoch // E) * E}
+        for b in list(chunk_states):
+            if b < frontier and b not in keep:
+                del chunk_states[b]
+
     for chunk_start in range(0, epochs, E):
         t_chunk = time.time()
         state, logs = run_epochs(state, train_stack, val_stack, aux,
@@ -499,6 +523,7 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
             per_step_wall = ((time.time() - prev_t)
                              / (E * max(steps_per_epoch, 1)))
             process_chunk(prev_start, fetched, per_step_wall)
+            prune_chunk_states()
             if stopped:
                 pending = None
                 break

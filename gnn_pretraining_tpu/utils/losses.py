@@ -20,16 +20,22 @@ import jax.numpy as jnp
 _LOG_CLAMP = -100.0  # torch.binary_cross_entropy clamps log terms at -100
 
 
-def bce_with_logits(z: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+def bce_with_logits(z: jnp.ndarray, y: jnp.ndarray,
+                    clamp: bool = True) -> jnp.ndarray:
     """Elementwise stable BCE from logits: max(z,0) - z·y + log1p(e^-|z|).
 
-    Matches torch's clamped BCE-on-probs value wherever |z| ≤ 100 (exactly
-    the non-degenerate regime) and stays finite with bounded grads beyond.
+    With ``clamp=True`` (the LP paths, where the reference computes BCE on
+    sigmoid probabilities) the per-element loss is capped at 100, matching
+    torch's clamped BCE-on-probs value wherever |z| ≤ 100 — exactly the
+    non-degenerate regime — and staying finite with bounded grads beyond.
+    With ``clamp=False`` it is plain ``F.binary_cross_entropy_with_logits``
+    (the reference's binary graph/node-classification loss,
+    src/finetune/finetune.py:153), which torch does NOT clamp.
     """
     yf = y.astype(jnp.float32)
     zf = z.astype(jnp.float32)
     per = jnp.maximum(zf, 0.0) - zf * yf + jnp.log1p(jnp.exp(-jnp.abs(zf)))
-    return jnp.minimum(per, -_LOG_CLAMP)
+    return jnp.minimum(per, -_LOG_CLAMP) if clamp else per
 
 
 def masked_bce_with_logits_mean(z: jnp.ndarray, y: jnp.ndarray,

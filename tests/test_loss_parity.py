@@ -50,9 +50,27 @@ class TestBCEParity:
         y = (rng.random(32) < 0.5).astype(np.float32)
         t = F.binary_cross_entropy_with_logits(torch.tensor(z),
                                                torch.tensor(y)).item()
-        zj, yj = jnp.asarray(z), jnp.asarray(y)
-        per = jnp.maximum(zj, 0) - zj * yj + jnp.log1p(jnp.exp(-jnp.abs(zj)))
-        np.testing.assert_allclose(float(jnp.mean(per)), t, rtol=1e-5)
+        ours = float(jnp.mean(bce_with_logits(jnp.asarray(z),
+                                              jnp.asarray(y), clamp=False)))
+        np.testing.assert_allclose(ours, t, rtol=1e-5)
+
+    def test_unclamped_bce_matches_torch_beyond_clamp(self):
+        # torch does NOT clamp binary_cross_entropy_with_logits: a
+        # confidently-wrong |z| > 100 sample keeps loss ~|z| and gradient
+        # sigmoid(z) - y. The binary GC/NC paths must use clamp=False so the
+        # fused and step-wise runners agree with the reference here.
+        z = np.asarray([-300.0, -150.0, 150.0, 300.0], np.float32)
+        y = np.asarray([1.0, 1.0, 0.0, 0.0], np.float32)
+        t = F.binary_cross_entropy_with_logits(torch.tensor(z),
+                                               torch.tensor(y)).item()
+        loss = lambda zz: jnp.mean(bce_with_logits(zz, jnp.asarray(y),
+                                                   clamp=False))
+        np.testing.assert_allclose(float(loss(jnp.asarray(z))), t, rtol=1e-6)
+        g = jax.grad(loss)(jnp.asarray(z))
+        # grad = (sigmoid(z) - y) / n = ±0.25 here — never the clamp's zero
+        np.testing.assert_allclose(np.asarray(g),
+                                   np.asarray([-0.25, -0.25, 0.25, 0.25]),
+                                   atol=1e-6)
 
 
 class TestLinkPredictorParity:
