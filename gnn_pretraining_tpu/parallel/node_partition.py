@@ -89,19 +89,30 @@ def build_node_partition_plan(senders, receivers, edge_mask, num_nodes: int,
     valid = edge_mask > 0
     n_loc = _round_up(max(num_nodes, n_dev), n_dev) // n_dev
 
-    dev_edges = []  # (senders, receivers_local, mask) per device
-    needed = [[[] for _ in range(n_dev)] for _ in range(n_dev)]  # [dst][src]
-    seen = [dict() for _ in range(n_dev)]  # dst -> {global sender: halo pos}
+    # Vectorized per (receiver-device, sender-device) pair: the halo order is
+    # first-occurrence order of each sender in the device's edge list (edges
+    # sorted by global edge index), recovered with np.unique ranks instead of
+    # a per-edge Python loop — plan construction is O(E log E) numpy, not
+    # O(E·n_dev) interpreter time.
+    dev_edges = []   # (senders, receivers_local, mask, owner, rank) per dev
+    needed = [[np.empty(0, np.int64)] * n_dev for _ in range(n_dev)]
     for d in range(n_dev):
         lo, hi = d * n_loc, (d + 1) * n_loc
         rows = np.nonzero(valid & (receivers >= lo) & (receivers < hi))[0]
-        dev_edges.append((senders[rows], receivers[rows] - lo,
-                          edge_mask[rows]))
-        for s in senders[rows]:
-            p = int(s) // n_loc
-            if p != d and int(s) not in seen[d]:
-                seen[d][int(s)] = len(needed[d][p])
-                needed[d][p].append(int(s))
+        s = senders[rows]
+        owner = s // n_loc
+        rank = np.zeros(len(s), np.int32)  # halo position within owner block
+        for p in np.unique(owner[owner != d]):
+            sel = np.nonzero(owner == p)[0]
+            uniq, first, inv = np.unique(s[sel], return_index=True,
+                                         return_inverse=True)
+            order = np.argsort(first, kind="stable")
+            r_of = np.empty(len(uniq), np.int32)
+            r_of[order] = np.arange(len(uniq), dtype=np.int32)
+            rank[sel] = r_of[inv]
+            needed[d][p] = uniq[order]
+        dev_edges.append((s, receivers[rows] - lo, edge_mask[rows],
+                          owner, rank))
 
     h_pad = max(1, _round_up(
         max((len(needed[d][p]) for d in range(n_dev) for p in range(n_dev)),
@@ -112,19 +123,15 @@ def build_node_partition_plan(senders, receivers, edge_mask, num_nodes: int,
     for d in range(n_dev):
         for p in range(n_dev):
             ids = needed[d][p]
-            send_idx[p, d, :len(ids)] = np.asarray(ids, np.int32) - p * n_loc
+            send_idx[p, d, :len(ids)] = ids.astype(np.int32) - p * n_loc
 
     # Split each device's edges into local-sender and halo-sender lists.
     loc_lists, hal_lists = [], []
     for d in range(n_dev):
-        s, r, m = dev_edges[d]
-        owner = s // n_loc
+        s, r, m, owner, rank = dev_edges[d]
         is_loc = owner == d
-        pos = np.zeros(len(s), np.int32)
-        for j, sv in enumerate(s):
-            if owner[j] != d:
-                # halo buffer row: block of the source device, then position
-                pos[j] = owner[j] * h_pad + seen[d][int(sv)]
+        # halo buffer row: block of the source device, then position
+        pos = (owner * h_pad + rank).astype(np.int32)
         loc_lists.append((s[is_loc] - d * n_loc, r[is_loc], m[is_loc]))
         hal_lists.append((pos[~is_loc], r[~is_loc], m[~is_loc]))
 
