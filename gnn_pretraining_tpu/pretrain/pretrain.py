@@ -133,19 +133,20 @@ def _init_heads(model, cfg, variables, sample_batches):
     return variables
 
 
-def make_train_step(model: PretrainableGNN, cfg: config.PretrainConfig,
-                    optimizer, total_steps: int):
-    """Per-task jitted gradient steps + one jitted combine/update step.
+def _make_step_parts(model: PretrainableGNN, cfg: config.PretrainConfig,
+                     optimizer, total_steps: int):
+    """The multi-task step decomposed into shareable pure pieces.
 
-    Splitting keeps each compiled program small (one monolithic step for a
-    5-task scheme takes minutes to compile); intermediate grads stay on device
-    between the sub-steps, so the host only orchestrates.
+    Both step builders below compose the SAME task-grad body, combine/update
+    core, and metric assembly — only the jit boundaries differ (per-task jit
+    + host orchestration for the unfused path; one traced body inside
+    ``lax.scan`` for the chunked path). Keeping one copy means a semantics
+    fix cannot drift between the paths.
     """
     main_tasks = [t for t in cfg.active_tasks if t != "domain_adv"]
     has_da = "domain_adv" in cfg.active_tasks
 
-    @functools.partial(jax.jit, static_argnames=("task",))
-    def task_grad_step(params, stats, task, domain_batches, key, step):
+    def task_grad(params, stats, task, domain_batches, key, step):
         ctx = TaskContext(temperature=temperature_at(step, total_steps),
                           grl_lambda=grl_lambda_at(step, total_steps),
                           train=True)
@@ -159,8 +160,7 @@ def make_train_step(model: PretrainableGNN, cfg: config.PretrainConfig,
             params, stats)
         return loss, pd, stats2, g
 
-    @functools.partial(jax.jit, donate_argnums=(1, 2))
-    def update_step(params, opt_state, balancer_step, task_losses, grads,
+    def update_core(params, opt_state, balancer_step, task_losses, grads,
                     da_grads, key):
         total_loss, weights, balancer_step = balance_losses(
             task_losses, balancer_step)
@@ -188,33 +188,7 @@ def make_train_step(model: PretrainableGNN, cfg: config.PretrainConfig,
         metrics["train/gradients/model_grad_norm"] = post_norm
         return params, opt_state, balancer_step, metrics
 
-    def train_step(state: TrainState, domain_batches, key):
-        step = state.opt_step
-        keys = jax.random.split(key, len(cfg.active_tasks) + 1)
-        stats = state.batch_stats
-
-        task_losses = {}
-        per_domain_task = {}
-        grads = {}
-        for i, t in enumerate(main_tasks):
-            loss, pd, stats, g = task_grad_step(state.params, stats, t,
-                                                domain_batches, keys[i], step)
-            task_losses[t] = loss
-            per_domain_task[t] = pd
-            grads[t] = g
-
-        da_loss = None
-        da_grads = None
-        if has_da:
-            da_loss, da_pd, stats, da_grads = task_grad_step(
-                state.params, stats, "domain_adv", domain_batches,
-                keys[len(main_tasks)], step)
-            per_domain_task["domain_adv"] = da_pd
-
-        params, opt_state, balancer_step, metrics = update_step(
-            state.params, state.opt_state, state.balancer_step, task_losses,
-            grads, da_grads, keys[-1])
-
+    def assemble_metrics(metrics, per_domain_task, task_losses, da_loss, step):
         for t, pd in per_domain_task.items():
             for d, v in pd.items():
                 metrics[f"train/loss/{d}/{t}"] = v
@@ -230,9 +204,59 @@ def make_train_step(model: PretrainableGNN, cfg: config.PretrainConfig,
         if has_da:
             # Reference logs λ after stepping the scheduler (pretrain.py:173).
             metrics["train/domain_adv/lambda"] = grl_lambda_at(
-                state.opt_step + 1, total_steps)
+                step + 1, total_steps)
             metrics["train/domain_adv/loss"] = da_loss
+        return metrics
 
+    def run_tasks(state, domain_batches, keys, grad_fn):
+        """All task grads for one step; returns the accumulated pieces."""
+        step = state.opt_step
+        stats = state.batch_stats
+        task_losses, per_domain_task, grads = {}, {}, {}
+        for i, t in enumerate(main_tasks):
+            loss, pd, stats, g = grad_fn(state.params, stats, t,
+                                         domain_batches, keys[i], step)
+            task_losses[t] = loss
+            per_domain_task[t] = pd
+            grads[t] = g
+
+        da_loss = None
+        da_grads = None
+        if has_da:
+            da_loss, da_pd, stats, da_grads = grad_fn(
+                state.params, stats, "domain_adv", domain_batches,
+                keys[len(main_tasks)], step)
+            per_domain_task["domain_adv"] = da_pd
+        return stats, task_losses, per_domain_task, grads, da_loss, da_grads
+
+    return task_grad, update_core, assemble_metrics, run_tasks
+
+
+def make_train_step(model: PretrainableGNN, cfg: config.PretrainConfig,
+                    optimizer, total_steps: int):
+    """Per-task jitted gradient steps + one jitted combine/update step.
+
+    Splitting keeps each compiled program small (one monolithic step for a
+    5-task scheme takes minutes to compile); intermediate grads stay on device
+    between the sub-steps, so the host only orchestrates.
+    """
+    task_grad, update_core, assemble_metrics, run_tasks = _make_step_parts(
+        model, cfg, optimizer, total_steps)
+    task_grad_step = jax.jit(task_grad, static_argnames=("task",))
+    update_step = jax.jit(update_core, donate_argnums=(1, 2))
+
+    def train_step(state: TrainState, domain_batches, key):
+        step = state.opt_step
+        keys = jax.random.split(key, len(cfg.active_tasks) + 1)
+        stats, task_losses, per_domain_task, grads, da_loss, da_grads = (
+            run_tasks(state, domain_batches, keys, task_grad_step))
+
+        params, opt_state, balancer_step, metrics = update_step(
+            state.params, state.opt_state, state.balancer_step, task_losses,
+            grads, da_grads, keys[-1])
+
+        metrics = assemble_metrics(metrics, per_domain_task, task_losses,
+                                   da_loss, step)
         new_state = TrainState(params=params, batch_stats=stats,
                                opt_state=opt_state, opt_step=step + 1,
                                balancer_step=balancer_step)
@@ -253,83 +277,21 @@ def make_chunked_train_step(model: PretrainableGNN, cfg: config.PretrainConfig,
     the scan with the same per-step ``split`` chain as the host loop, so the
     sampled noise stream is identical to the unfused path.
     """
-    main_tasks = [t for t in cfg.active_tasks if t != "domain_adv"]
-    has_da = "domain_adv" in cfg.active_tasks
-
-    def task_loss_grad(params, stats, task, domain_batches, key, step):
-        ctx = TaskContext(temperature=temperature_at(step, total_steps),
-                          grl_lambda=grl_lambda_at(step, total_steps),
-                          train=True)
-
-        def loss_fn(p, s):
-            loss, pd, s2 = compute_task_loss(task, model, p, s, domain_batches,
-                                             key, ctx)
-            return loss, (pd, s2)
-
-        (loss, (pd, stats2)), g = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, stats)
-        return loss, pd, stats2, g
+    task_grad, update_core, assemble_metrics, run_tasks = _make_step_parts(
+        model, cfg, optimizer, total_steps)
 
     def step_fn(state: TrainState, domain_batches, key):
         step = state.opt_step
         keys = jax.random.split(key, len(cfg.active_tasks) + 1)
-        stats = state.batch_stats
+        stats, task_losses, per_domain_task, grads, da_loss, da_grads = (
+            run_tasks(state, domain_batches, keys, task_grad))
 
-        task_losses, per_domain_task, grads = {}, {}, {}
-        for i, t in enumerate(main_tasks):
-            loss, pd, stats, g = task_loss_grad(state.params, stats, t,
-                                                domain_batches, keys[i], step)
-            task_losses[t] = loss
-            per_domain_task[t] = pd
-            grads[t] = g
+        params, opt_state, balancer_step, metrics = update_core(
+            state.params, state.opt_state, state.balancer_step, task_losses,
+            grads, da_grads, keys[-1])
 
-        da_loss = None
-        da_grads = None
-        if has_da:
-            da_loss, da_pd, stats, da_grads = task_loss_grad(
-                state.params, stats, "domain_adv", domain_batches,
-                keys[len(main_tasks)], step)
-            per_domain_task["domain_adv"] = da_pd
-
-        total_loss, weights, balancer_step = balance_losses(
-            task_losses, state.balancer_step)
-        surgery_metrics = {}
-        if len(main_tasks) > 1:
-            combined, surgery_metrics = apply_pcgrad(grads, state.params,
-                                                     keys[-1])
-        else:
-            combined = grads[main_tasks[0]]
-        if da_grads is not None:
-            combined = jax.tree.map(lambda a, b: a + b, combined, da_grads)
-
-        clipped, pre_norm = clip_grads_torch(combined)
-        updates, opt_state = optimizer.update(clipped, state.opt_state,
-                                              state.params)
-        params = optax.apply_updates(state.params, updates)
-        post_norm = pre_norm * jnp.minimum(
-            config.MAX_GRAD_NORM / (pre_norm + 1e-6), 1.0)
-
-        metrics = dict(surgery_metrics)
-        metrics["train/loss/total"] = total_loss
-        for t, w in weights.items():
-            metrics[f"train/loss_balancer/weight/{t}"] = w
-        metrics["train/gradients/model_grad_norm"] = post_norm
-        for t, pd in per_domain_task.items():
-            for d, v in pd.items():
-                metrics[f"train/loss/{d}/{t}"] = v
-        all_losses = dict(task_losses)
-        if has_da:
-            all_losses["domain_adv"] = da_loss
-        for t, v in all_losses.items():
-            metrics[f"train/loss/{t}"] = v
-        for d in cfg.pretrain_domains:
-            metrics[f"train/loss/{d}"] = sum(
-                per_domain_task[t][d] for t in per_domain_task)
-        if has_da:
-            metrics["train/domain_adv/lambda"] = grl_lambda_at(
-                step + 1, total_steps)
-            metrics["train/domain_adv/loss"] = da_loss
-
+        metrics = assemble_metrics(metrics, per_domain_task, task_losses,
+                                   da_loss, step)
         new_state = TrainState(params=params, batch_stats=stats,
                                opt_state=opt_state, opt_step=step + 1,
                                balancer_step=balancer_step)
@@ -556,6 +518,21 @@ def pretrain(cfg: config.PretrainConfig, aggregation: str = "dense",
     ckpt_path = pretrain_out_dir / f"model_{cfg.run_name}.msgpack"
     resume_path = pretrain_out_dir / f"resume_{cfg.run_name}.msgpack"
 
+    def _advance_key(k, n):
+        """Advance the split chain by ``n`` steps without touching the relay:
+        threefry is backend-deterministic, so the splits run on the host CPU
+        backend and yield the exact values the default path would."""
+        if n <= 0:
+            return k
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+            k = jax.device_put(jax.device_get(k), cpu)
+        except RuntimeError:
+            pass  # no CPU backend: split on the default device
+        for _ in range(n):
+            k, _ = jax.random.split(k)
+        return jax.device_get(k)
+
     if resume and resume_path.exists():
         from gnn_pretraining_tpu.utils.checkpoint import load_train_state
 
@@ -564,6 +541,11 @@ def pretrain(cfg: config.PretrainConfig, aggregation: str = "dense",
         best_total = counters["best_total"]
         epochs_since_improvement = counters["epochs_since_improvement"]
         global_step = counters["opt_step"]
+        # Fast-forward the PRNG chain past the consumed epochs — each took
+        # steps_per_epoch train splits (device-side in the chunked path,
+        # host-side otherwise) + 1 eval split. Without this a resumed run
+        # replays the pre-crash noise stream from the start.
+        key = _advance_key(key, (start_epoch - 1) * (steps_per_epoch + 1))
         print(f"resumed {cfg.run_name} at epoch {start_epoch} "
               f"(best_val={best_total:.4f})")
 
@@ -580,7 +562,7 @@ def pretrain(cfg: config.PretrainConfig, aggregation: str = "dense",
     # FLUSH_EVERY work items instead of every step; values are unchanged,
     # only written a few steps late. A work item is one step (unfused paths)
     # or one scan chunk of steps; per-step rows are identical either way.
-    FLUSH_EVERY = 8 if chunk_steps <= 1 else 2
+    FLUSH_EVERY = 2 if train_step is None else 8
     pending = []  # [(first_step, epoch, device metrics, per-step edges [C])]
 
     def flush_pending():
@@ -623,17 +605,26 @@ def pretrain(cfg: config.PretrainConfig, aggregation: str = "dense",
 
         q = queue.Queue(maxsize=depth)
         stop = object()
+        failure = []
 
         def producer():
-            for item in gen:
-                q.put(item)
-            q.put(stop)
+            # The sentinel goes up in a finally: a generator exception must
+            # surface in the consumer, not strand it on q.get() forever.
+            try:
+                for item in gen:
+                    q.put(item)
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                failure.append(exc)
+            finally:
+                q.put(stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         while True:
             item = q.get()
             if item is stop:
+                if failure:
+                    raise failure[0]
                 return
             yield put(item)
 
@@ -676,8 +667,17 @@ def pretrain(cfg: config.PretrainConfig, aggregation: str = "dense",
         stacked, edges = item
         return jax.device_put(stacked), edges
 
+    # A resume checkpoint taken at the final epoch makes this loop empty;
+    # `epoch` must still be defined for the summary/return below.
+    epoch = start_epoch - 1
     for epoch in range(start_epoch, epochs + 1):
         if train_step is None:
+            # Re-seed the device chain from the host chain each epoch: the
+            # host chain (mirrored below + one eval split per epoch) is the
+            # unfused path's single key chain, so train and eval subkeys
+            # interleave exactly as in the per-step path — no collisions,
+            # and resume continues the stream bit-exactly.
+            key_dev = jax.device_put(key)
             for stacked, step_edges in prefetched(chunk_gen(),
                                                   put=_put_chunk):
                 # NOTE: no copy_to_host_async here — per-array async D2H
@@ -693,6 +693,11 @@ def pretrain(cfg: config.PretrainConfig, aggregation: str = "dense",
                     flush_pending()
                 if epoch == start_epoch and global_step <= len(step_edges):
                     meter.reset()  # exclude compile from the throughput meter
+            # Mirror the device-consumed per-step splits on the host chain,
+            # so the eval split below continues the SAME stream as the
+            # unfused path (eval keys previously collided with the device's
+            # train-step keys, both starting from the base key).
+            key = _advance_key(key, steps_per_epoch)
         else:
             for domain_batches in prefetched(train_batches()):
                 global_step += 1

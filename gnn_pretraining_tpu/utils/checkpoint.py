@@ -11,12 +11,21 @@ contract (backbone subtree + ENZYMES encoder) is applied at load time by
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
 from flax import serialization
+
+
+def _atomic_write_bytes(path: Path, blob: bytes) -> None:
+    """Write via temp file + os.replace so a kill mid-write (OOM, watchdog
+    restart) can never leave a truncated checkpoint in place of a good one."""
+    tmp = path.with_name(path.name + ".tmp")
+    tmp.write_bytes(blob)
+    os.replace(tmp, path)
 
 
 def save_checkpoint(path, params, batch_stats, epoch: int,
@@ -34,7 +43,7 @@ def save_checkpoint(path, params, batch_stats, epoch: int,
         },
     }
     blob = serialization.msgpack_serialize(_to_plain(payload))
-    path.write_bytes(blob)
+    _atomic_write_bytes(path, blob)
 
 
 def load_checkpoint(path) -> Dict[str, Any]:
@@ -67,7 +76,7 @@ def save_train_state(path, state, epoch: int, best_total: float,
         },
         "extra": extra or {},
     }
-    path.write_bytes(serialization.msgpack_serialize(_to_plain(payload)))
+    _atomic_write_bytes(path, serialization.msgpack_serialize(_to_plain(payload)))
 
 
 def load_train_state(path, state_template):

@@ -63,8 +63,13 @@ class MetricLogger:
         if extra:
             self._summary.update(extra)
         summary_path = self.path.with_suffix(".summary.json")
-        with open(summary_path, "w") as f:
+        # Atomic replace: a kill mid-write must not truncate an existing
+        # completion marker (cell_completed tolerates corrupt JSON, but the
+        # previously recorded completion would still be lost).
+        tmp = summary_path.with_name(summary_path.name + ".tmp")
+        with open(tmp, "w") as f:
             json.dump(self._summary, f, indent=2)
+        os.replace(tmp, summary_path)
         self._fh.close()
         if self._wandb is not None:
             self._wandb.finish()

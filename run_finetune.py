@@ -22,13 +22,7 @@ from gnn_pretraining_tpu.utils.runtime import (
 from gnn_pretraining_tpu.finetune.finetune import finetune
 
 
-def shard_grid(grid, args):
-    """Round-robin grid partitioning across hosts (see run_pretrain.py)."""
-    import jax
-
-    n = args.num_shards if args.num_shards else jax.process_count()
-    i = args.shard_index if args.shard_index is not None else jax.process_index()
-    return grid[i::n] if n > 1 else grid
+from run_pretrain import metrics_root, shard_grid  # noqa: E402 — shared CLI helpers
 
 
 def cell_completed(cfg, args) -> bool:
@@ -38,7 +32,7 @@ def cell_completed(cfg, args) -> bool:
         fidelity_block,
     )
 
-    path = (config.METRICS_DIR / config.FINETUNE_PROJECT_NAME
+    path = (metrics_root(args) / config.FINETUNE_PROJECT_NAME
             / f"{cfg.run_name}.summary.json")
     expected = fidelity_block(args.epochs or cfg.epochs, cfg.seed,
                               args.aggregation, None, (cfg.domain_name,))
@@ -60,7 +54,7 @@ def pretrain_ready(scheme: str, seed: int, args) -> bool:
     )
 
     pcfg = config.PretrainConfig(exp_name=scheme, seed=seed)
-    path = (config.METRICS_DIR / config.PRETRAIN_PROJECT_NAME
+    path = (metrics_root(args) / config.PRETRAIN_PROJECT_NAME
             / f"{pcfg.run_name}.summary.json")
     expected = fidelity_block(config.PRETRAIN_EPOCHS, seed, args.aggregation,
                               None, pcfg.pretrain_domains)
@@ -97,7 +91,8 @@ def run_grid(grid, args) -> None:
         t0 = time.time()
         try:
             res = finetune(cfg, aggregation=args.aggregation,
-                           epochs=args.epochs, use_wandb=not args.no_wandb)
+                           epochs=args.epochs, use_wandb=not args.no_wandb,
+                           out_root=args.out_root)
             key = ("test/auc" if cfg.task_type == "link_prediction"
                    else "test/accuracy")
             print(f"[{i+1}/{len(grid)}] {cfg.run_name}: {key}="
@@ -131,6 +126,11 @@ def main() -> None:
     parser.add_argument("--no_wandb", action="store_true")
     parser.add_argument("--shard_index", type=int, default=None)
     parser.add_argument("--num_shards", type=int, default=0)
+    parser.add_argument("--out_root", type=str, default=None,
+                        help="root for checkpoints/metrics (default: the "
+                             "production outputs/ store); point smoke runs "
+                             "at a scratch dir so they cannot overwrite "
+                             "production artifacts")
     args = parser.parse_args()
 
     if args.sweep:
@@ -149,7 +149,7 @@ def main() -> None:
                                     pretrained_scheme=args.pretrained_scheme,
                                     seed=args.seed)
         res = finetune(cfg, aggregation=args.aggregation, epochs=args.epochs,
-                       use_wandb=not args.no_wandb)
+                       use_wandb=not args.no_wandb, out_root=args.out_root)
         print({k: round(v, 4) if isinstance(v, float) else v
                for k, v in res.items()})
 

@@ -28,12 +28,27 @@ def shard_grid(grid, args):
     """Partition the experiment grid across hosts (SURVEY.md §2.6: the
     reference splits its grid across 2 VMs by hand; here round-robin by
     ``--shard_index/--num_shards``, defaulting to the jax process index under
-    multi-host)."""
+    multi-host). Giving only one of the two flags is ambiguous — two hosts
+    launched with just ``--num_shards 2`` would both run shard 0 — so it is
+    rejected rather than silently defaulted."""
     import jax
 
+    if (args.num_shards > 0) != (args.shard_index is not None):
+        raise SystemExit("--shard_index and --num_shards must be given "
+                         "together (or neither, to use the jax process "
+                         "index under multi-host)")
     n = args.num_shards if args.num_shards else jax.process_count()
     i = args.shard_index if args.shard_index is not None else jax.process_index()
+    if not 0 <= i < max(n, 1):
+        raise SystemExit(f"--shard_index {i} out of range for {n} shards")
     return grid[i::n] if n > 1 else grid
+
+
+def metrics_root(args):
+    from pathlib import Path
+
+    root = getattr(args, "out_root", None)
+    return Path(root) / "metrics" if root else config.METRICS_DIR
 
 
 def cell_completed(cfg, args) -> bool:
@@ -45,7 +60,7 @@ def cell_completed(cfg, args) -> bool:
         fidelity_block,
     )
 
-    path = (config.METRICS_DIR / config.PRETRAIN_PROJECT_NAME
+    path = (metrics_root(args) / config.PRETRAIN_PROJECT_NAME
             / f"{cfg.run_name}.summary.json")
     expected = fidelity_block(args.epochs, cfg.seed, args.aggregation,
                               None, cfg.pretrain_domains)
@@ -67,7 +82,7 @@ def run_sweep(args) -> None:
         try:
             res = pretrain(cfg, aggregation=args.aggregation,
                            epochs=args.epochs, use_wandb=not args.no_wandb,
-                           resume=args.resume)
+                           resume=args.resume, out_root=args.out_root)
             print(f"[{i+1}/{len(grid)}] {cfg.run_name}: "
                   f"best_val={res['best_val_total']:.4f} "
                   f"({time.time()-t0:.0f}s)")
@@ -98,6 +113,11 @@ def main() -> None:
     parser.add_argument("--no_wandb", action="store_true")
     parser.add_argument("--shard_index", type=int, default=None)
     parser.add_argument("--num_shards", type=int, default=0)
+    parser.add_argument("--out_root", type=str, default=None,
+                        help="root for checkpoints/metrics (default: the "
+                             "production outputs/ store); point smoke runs "
+                             "at a scratch dir so they cannot overwrite "
+                             "production artifacts")
     args = parser.parse_args()
 
     if args.sweep:
@@ -107,7 +127,8 @@ def main() -> None:
             parser.error("provide --sweep or both --exp_name and --seed")
         cfg = config.PretrainConfig(exp_name=args.exp_name, seed=args.seed)
         res = pretrain(cfg, aggregation=args.aggregation, epochs=args.epochs,
-                       use_wandb=not args.no_wandb)
+                       use_wandb=not args.no_wandb, resume=args.resume,
+                       out_root=args.out_root)
         print(res)
 
 

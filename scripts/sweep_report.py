@@ -31,7 +31,11 @@ def parse(log_path: str):
     cells = re.findall(r"\[(\d+)/(\d+)\] (\S+): (?:.*?)\((\d+)s\)", text)
     per_phase = {"pretrain": [], "finetune": []}
     for i, n, run, secs in cells:
-        phase = "pretrain" if int(n) == 24 else "finetune"
+        # Classify by run-name shape, not grid size (sharded grids print
+        # other [i/N] totals): pretrain runs are "<scheme>_<seed>",
+        # finetune runs embed domain/strategy.
+        phase = ("pretrain" if re.fullmatch(r"(?:b\d|s\d)_\d+", run)
+                 else "finetune")
         per_phase[phase].append((run, int(secs)))
     windows = {}
     for phase in ("pretrain", "finetune"):
