@@ -196,6 +196,11 @@ FINETUNE_EPOCHS: Dict[str, int] = {
 HARD_NEGATIVE_RATIO = 0.3
 MIN_HARD_NEGATIVES = 8
 FINETUNE_PATIENCE_FRACTION = 0.5
+# Net-new (no reference analogue): rounds of fixed-shape rejection sampling
+# in ops/sampling.sample_negative_edges. The reference resamples until clean
+# (dynamic); with R rounds the probability a returned "negative" is a true
+# edge is ~(E_g/n_g^2)^R — ~1e-22 at MUTAG-like densities for R=8.
+NEG_SAMPLING_ROUNDS = 8
 # Net-new (no reference analogue). Above this node count the LP miner's
 # [N, N] similarity/Gumbel buffers stop being a rounding error and mining
 # dispatches to the streaming fused masked-SDDMM + top-k path

@@ -61,10 +61,13 @@ class BalancedMultiDomainSampler:
         # (sample_step), which leaves the with-replacement distribution intact
         # up to a vanishing conditioning.
         self.pads = {}
+        self.graph_sizes = {}  # per-domain (node counts, edge counts) tables
         for d, s in domain_stores.items():
             ix = self.train_indices[d]
-            nn = np.diff(s.node_offsets)[ix]
-            ne = np.diff(s.edge_offsets)[ix]
+            all_nn = np.diff(s.node_offsets)
+            all_ne = np.diff(s.edge_offsets)
+            self.graph_sizes[d] = (all_nn, all_ne)
+            nn, ne = all_nn[ix], all_ne[ix]
             spd = self.samples_per_domain
             n_pad = int(nn.max()) + int(np.ceil(np.quantile(nn, 0.95))) * (spd - 1)
             e_pad = int(ne.max()) + int(np.ceil(np.quantile(ne, 0.95))) * (spd - 1)
@@ -83,13 +86,17 @@ class BalancedMultiDomainSampler:
         for d, store in self.domain_stores.items():
             ix = self.train_indices[d]
             n_pad, e_pad = self.pads[d]
-            nn = np.diff(store.node_offsets)
-            ne = np.diff(store.edge_offsets)
+            nn, ne = self.graph_sizes[d]  # cached in __init__
             for _ in range(100):  # resample the rare over-budget draw
                 chosen = ix[self.rng.integers(0, len(ix),
                                               self.samples_per_domain)]
                 if nn[chosen].sum() <= n_pad and ne[chosen].sum() <= e_pad:
                     break
+            else:
+                raise RuntimeError(
+                    f"{d}: 100 consecutive draws exceeded the quantile pad "
+                    f"budget (n_pad={n_pad}, e_pad={e_pad}) — the domain's "
+                    f"graph-size distribution needs a larger pad quantile")
             out[d] = build_batch(store, chosen, n_pad, e_pad,
                                  self.samples_per_domain, with_properties=True)
         return out

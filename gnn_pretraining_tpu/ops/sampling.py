@@ -17,8 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_NEG_SAMPLING_ROUNDS = 8
-
+from gnn_pretraining_tpu import config
 
 def masked_randperm_select(key: jax.Array, group_ids: jnp.ndarray,
                            row_mask: jnp.ndarray,
@@ -105,10 +104,10 @@ def batched_negative_sampling(key: jax.Array,
     def bad(u, v):
         return (u == v) | is_edge[u, v]
 
-    keys = jax.random.split(key, _NEG_SAMPLING_ROUNDS + 1)
+    keys = jax.random.split(key, config.NEG_SAMPLING_ROUNDS + 1)
     u, v = sample_pair(keys[0])
     need = bad(u, v)
-    for r in range(1, _NEG_SAMPLING_ROUNDS):
+    for r in range(1, config.NEG_SAMPLING_ROUNDS):
         nu, nv = sample_pair(keys[r])
         u = jnp.where(need, nu, u)
         v = jnp.where(need, nv, v)

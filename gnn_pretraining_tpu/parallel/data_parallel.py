@@ -136,7 +136,7 @@ def make_dp_train_step(model: PretrainableGNN, cfg: config.PretrainConfig,
             task_losses, balancer_step)
         surgery_metrics = {}
         if len(main_tasks) > 1:
-            combined, surgery_metrics = apply_pcgrad(grads, params, key)
+            combined, surgery_metrics = apply_pcgrad(grads, key)
         else:
             combined = grads[main_tasks[0]]
         if da_grads is not None:

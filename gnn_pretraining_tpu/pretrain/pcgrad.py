@@ -81,7 +81,7 @@ def _leaf_top_keys(tree) -> List[str]:
     return keys
 
 
-def apply_pcgrad(task_grads: Dict[str, dict], params_template, key: jax.Array
+def apply_pcgrad(task_grads: Dict[str, dict], key: jax.Array
                  ) -> Tuple[dict, Dict[str, jnp.ndarray]]:
     """Combine per-task gradient pytrees with PCGrad (see module docstring)."""
     task_names = list(task_grads.keys())

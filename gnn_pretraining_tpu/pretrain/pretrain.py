@@ -167,7 +167,7 @@ def _make_step_parts(model: PretrainableGNN, cfg: config.PretrainConfig,
 
         surgery_metrics = {}
         if len(main_tasks) > 1:
-            combined, surgery_metrics = apply_pcgrad(grads, params, key)
+            combined, surgery_metrics = apply_pcgrad(grads, key)
         else:
             combined = grads[main_tasks[0]]
         if da_grads is not None:

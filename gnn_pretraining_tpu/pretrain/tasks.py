@@ -313,12 +313,15 @@ def graph_prop_loss(model, params, stats, domain_batches, key, ctx):
 
 def domain_adv_loss(model, params, stats, domain_batches, key, ctx):
     """Reference: tasks.py:315-343. Domain label = index in the scheme's
-    domain tuple (insertion order of input_encoders, :318)."""
+    domain tuple (insertion order of input_encoders, :318) — a FIXED mapping
+    via ``model.domain_names``, never the position in ``domain_batches``
+    (the per-domain eval path passes single-domain dicts, where an
+    enumeration index would label every domain 0)."""
     total_loss = 0.0
     total_size = 0.0
     per_domain = {}
-    domain_names = list(domain_batches.keys())
-    for idx, (domain, batch) in enumerate(domain_batches.items()):
+    for domain, batch in domain_batches.items():
+        idx = model.domain_names.index(domain)
         key, k_fwd, k_head = jax.random.split(key, 3)
         g = batch.num_graphs
         adj = _batch_adj(batch, model)
@@ -336,7 +339,6 @@ def domain_adv_loss(model, params, stats, domain_batches, key, ctx):
         total_loss += loss_sum
         total_size += size
         per_domain[domain] = _safe_div(loss_sum, size)
-    del domain_names
     return _safe_div(total_loss, total_size), per_domain, stats
 
 

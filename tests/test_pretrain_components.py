@@ -73,7 +73,7 @@ class TestPCGrad:
     def test_no_conflict_means_mean(self):
         g = self._grads({"t1": [1.0, 0.0], "t2": [0.0, 1.0]})
         params = {"gnn_backbone": {"w": jnp.zeros(2)}}
-        combined, m = apply_pcgrad(g, params, jax.random.PRNGKey(0))
+        combined, m = apply_pcgrad(g, jax.random.PRNGKey(0))
         np.testing.assert_allclose(np.asarray(combined["gnn_backbone"]["w"]),
                                    [0.5, 0.5], rtol=1e-6)
         assert float(m["gradient_surgery/total_conflicts"]) == 0
@@ -81,7 +81,7 @@ class TestPCGrad:
     def test_opposite_grads_project_to_zero(self):
         g = self._grads({"t1": [1.0, 0.0], "t2": [-1.0, 0.0]})
         params = {"gnn_backbone": {"w": jnp.zeros(2)}}
-        combined, m = apply_pcgrad(g, params, jax.random.PRNGKey(0))
+        combined, m = apply_pcgrad(g, jax.random.PRNGKey(0))
         # Later task projects onto earlier's normal plane -> one becomes 0;
         # mean = (g_first + 0)/2 = ±0.5 depending on the shuffle.
         assert abs(abs(float(np.asarray(combined["gnn_backbone"]["w"])[0])) - 0.5) < 1e-6
@@ -94,7 +94,7 @@ class TestPCGrad:
         g2 = np.array([-1.0, 0.5], np.float32)
         g = self._grads({"t1": g1, "t2": g2})
         params = {"gnn_backbone": {"w": jnp.zeros(2)}}
-        combined, m = apply_pcgrad(g, params, jax.random.PRNGKey(3))
+        combined, m = apply_pcgrad(g, jax.random.PRNGKey(3))
         got = np.asarray(combined["gnn_backbone"]["w"])
 
         def proj(a, b):  # project a off b if conflicting
@@ -119,7 +119,7 @@ class TestPCGrad:
         params = {"gnn_backbone": {"w": jnp.zeros(1)},
                   "heads_t1": {"w": jnp.zeros(1)},
                   "heads_t2": {"w": jnp.zeros(1)}}
-        combined, _ = apply_pcgrad(g, params, jax.random.PRNGKey(0))
+        combined, _ = apply_pcgrad(g, jax.random.PRNGKey(0))
         np.testing.assert_allclose(float(combined["gnn_backbone"]["w"][0]), 3.0)
         np.testing.assert_allclose(float(combined["heads_t1"]["w"][0]), 4.0)
         np.testing.assert_allclose(float(combined["heads_t2"]["w"][0]), 6.0)

@@ -485,3 +485,41 @@ class TestNodePartition:
         # the psum path always moves the full [N, F] ring regardless of cut
         assert plan_zero.psum_bytes_per_layer(f) == plan_rand.psum_bytes_per_layer(f)
         assert plan_zero.halo_bytes_per_layer(f) < plan_zero.psum_bytes_per_layer(f)
+
+
+class TestDomainAdvLabels:
+    def test_single_domain_eval_uses_canonical_labels(self, monkeypatch):
+        """Per-domain eval passes single-domain dicts; the adversarial label
+        must come from model.domain_names (the reference's fixed
+        domain_to_idx, tasks.py:318), not the dict enumeration index — which
+        labeled every domain 0 and made eval CE meaningless for all domains
+        but the first."""
+        monkeypatch.setattr(config, "DROPOUT_RATE", 0.0)
+        monkeypatch.setattr(config, "DOMAIN_CLASSIFIER_DROPOUT_RATE", 0.0)
+        monkeypatch.setattr(config, "GNN_NUM_LAYERS", 2)
+
+        rng = np.random.default_rng(11)
+        domains = ("MUTAG", "PROTEINS")
+        batches = {d: _domain_batch(rng, g=8, npg=6, epg=10, d=7)
+                   for d in domains}
+
+        class _Cfg:
+            active_tasks = ("domain_adv",)
+            pretrain_domains = domains
+            seed = 0
+
+        from gnn_pretraining_tpu.pretrain.pretrain import _init_model_impl
+
+        model, variables = _init_model_impl(_Cfg, batches, "dense")
+        ctx = TaskContext(jnp.float32(0.5), jnp.float32(0.3), False, None)
+        key = jax.random.PRNGKey(3)
+
+        _, pd_full, _ = compute_task_loss(
+            "domain_adv", model, variables["params"],
+            variables["batch_stats"], batches, key, ctx)
+        for d in domains:
+            _, pd_single, _ = compute_task_loss(
+                "domain_adv", model, variables["params"],
+                variables["batch_stats"], {d: batches[d]}, key, ctx)
+            np.testing.assert_allclose(float(pd_single[d]), float(pd_full[d]),
+                                       rtol=1e-5)
