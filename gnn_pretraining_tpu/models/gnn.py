@@ -31,11 +31,15 @@ from gnn_pretraining_tpu.ops.spmm import (
 )
 
 
-def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
-    """U(±1/√fan_in); shape is (fan_in, fan_out) in flax convention."""
-    fan_in = shape[0]
+def torch_linear_init(fan_in):
+    """torch ``nn.Linear``'s U(±1/√fan_in) rule — one bound for kernel
+    (kaiming_uniform with a=√5 collapses to it) AND bias."""
     bound = 1.0 / jnp.sqrt(fan_in)
-    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
 
 
 class TorchLinear(nn.Module):
@@ -44,13 +48,9 @@ class TorchLinear(nn.Module):
     @nn.compact
     def __call__(self, x):
         fan_in = x.shape[-1]
-        kernel = self.param("kernel", torch_linear_kernel_init,
-                            (fan_in, self.features))
-        bound = 1.0 / jnp.sqrt(fan_in)
-        bias = self.param(
-            "bias",
-            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
-            (self.features,))
+        init = torch_linear_init(fan_in)
+        kernel = self.param("kernel", init, (fan_in, self.features))
+        bias = self.param("bias", init, (self.features,))
         return x @ kernel + bias
 
 

@@ -44,18 +44,25 @@ class MaskedBatchNorm(nn.Module):
                 m = mask.astype(x.dtype)[:, None]
                 n = jnp.sum(m)
                 sum_x = jnp.sum(x * m, axis=0)
-                sum_x2 = jnp.sum(x * x * m, axis=0)
             else:
+                m = None
                 n = jnp.asarray(x.shape[0], x.dtype)
                 sum_x = jnp.sum(x, axis=0)
-                sum_x2 = jnp.sum(x * x, axis=0)
             if self.axis_name is not None:
                 n = jax.lax.psum(n, self.axis_name)
                 sum_x = jax.lax.psum(sum_x, self.axis_name)
-                sum_x2 = jax.lax.psum(sum_x2, self.axis_name)
             n = jnp.maximum(n, 1.0)
             mean = sum_x / n
-            var = jnp.maximum(sum_x2 / n - mean * mean, 0.0)
+            # Two-pass variance, as torch computes it (mean((x-mean)^2)):
+            # the single-pass E[x^2]-mean^2 form cancels catastrophically in
+            # f32 once |mean| >> std, clamping var to 0 and blowing the
+            # normalized activations up by 1/sqrt(eps).
+            dev = x - mean
+            sq = dev * dev if m is None else dev * dev * m
+            sum_sq = jnp.sum(sq, axis=0)
+            if self.axis_name is not None:
+                sum_sq = jax.lax.psum(sum_sq, self.axis_name)
+            var = sum_sq / n
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
                 ra_mean.value = ((1 - self.momentum) * ra_mean.value

@@ -66,8 +66,18 @@ def _read_zip_entries(path: Path) -> Dict[str, bytes]:
         if comp != 0:
             raise ValueError(f"unsupported compression in {name}")
         if flags & 0x08:  # sizes deferred to the data descriptor
+            # The descriptor signature can occur by chance inside a large
+            # binary storage; only accept a candidate whose recorded csize
+            # matches the bytes actually spanned (descriptor layout:
+            # sig(4) crc(4) csize(4) usize(4)).
             dd = buf.find(b"PK\x07\x08", data_start)
-            if dd == -1:  # truncated inside this entry: keep what's there
+            while dd != -1 and dd + 16 <= len(buf):
+                (csz,) = struct.unpack("<I", buf[dd + 8:dd + 12])
+                if csz == dd - data_start:
+                    break
+                dd = buf.find(b"PK\x07\x08", dd + 1)
+            if dd == -1 or dd + 16 > len(buf):
+                # truncated inside this entry: keep what's there
                 entries[name] = buf[data_start:]
                 break
             entries[name] = buf[data_start:dd]
@@ -133,7 +143,10 @@ def read_torch_checkpoint(path) -> Dict[str, Any]:
     storage bytes were lost to truncation.
     """
     entries = _read_zip_entries(path)
-    pkl_name = next(n for n in entries if n.endswith("/data.pkl"))
+    pkl_name = next((n for n in entries if n.endswith("/data.pkl")), None)
+    if pkl_name is None:
+        raise ValueError(f"{path}: no data.pkl entry (archive truncated "
+                         f"before the pickle?); entries: {sorted(entries)}")
     prefix = pkl_name[:-len("data.pkl")]
     obj = _RestrictedUnpickler(io.BytesIO(entries[pkl_name])).load()
 
@@ -142,13 +155,30 @@ def read_torch_checkpoint(path) -> Dict[str, Any]:
     for key, ref in sd_raw.items():
         if not isinstance(ref, _TensorRef):
             continue
-        dtype = _STORAGE_DTYPES.get(ref.storage_type, np.float32)
+        dtype = _STORAGE_DTYPES.get(ref.storage_type)
+        if dtype is None:
+            # Reinterpreting unknown storage bytes (bf16, quantized, ...)
+            # as f32 would load numeric garbage; report instead.
+            missing.append(key)
+            continue
+        contiguous = []
+        acc = 1
+        for s in reversed(ref.size):
+            contiguous.append(acc)
+            acc *= s
+        if ref.size and ref.stride != tuple(reversed(contiguous)):
+            # torch.save preserves storage+stride; a non-contiguous view
+            # cannot be materialized by a flat reshape.
+            missing.append(key)
+            continue
         raw = entries.get(f"{prefix}data/{ref.storage_key}")
-        need = (ref.offset + int(np.prod(ref.size or (1,)))) * dtype().nbytes
+        itemsize = dtype().nbytes
+        need = (ref.offset + int(np.prod(ref.size or (1,)))) * itemsize
         if raw is None or len(raw) < need:
             missing.append(key)
             continue
-        flat = np.frombuffer(raw, dtype=dtype)
+        # A truncated tail may not be an itemsize multiple; trim before view.
+        flat = np.frombuffer(raw, dtype=dtype, count=len(raw) // itemsize)
         n = int(np.prod(ref.size)) if ref.size else 1
         arr = flat[ref.offset:ref.offset + n]
         state[key] = (arr.reshape(ref.size) if ref.size else arr[0]).copy()

@@ -268,3 +268,28 @@ class TestFinetuneModel:
             np.asarray(pre_vars["params"]["input_encoders_ENZYMES"]["linear"]["kernel"]))
         # head stays the finetune init
         assert "classification_head" in merged["params"]
+
+
+class TestBatchNormLargeMean:
+    def test_two_pass_variance_survives_large_means(self):
+        """Single-pass E[x^2]-mean^2 cancels catastrophically in f32 when
+        |mean| >> std (var clamps to 0 and 1/sqrt(eps) blows activations up
+        ~300x); torch computes mean((x-mean)^2). The masked BN must match
+        torch in that regime."""
+        from gnn_pretraining_tpu.models.norm import MaskedBatchNorm
+
+        rng = np.random.default_rng(0)
+        n, f = 256, 8
+        x = (rng.normal(size=(n, f)) + 4096.0).astype(np.float32)  # std 1
+
+        bn = MaskedBatchNorm(features=f)
+        variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                            jnp.ones(n), True)
+        y, _ = bn.apply(variables, jnp.asarray(x), jnp.ones(n), True,
+                        mutable=["batch_stats"])
+
+        tbn = torch.nn.BatchNorm1d(f, eps=float(bn.eps),
+                                   momentum=float(bn.momentum))
+        ty = tbn(torch.tensor(x)).detach().numpy()
+        np.testing.assert_allclose(np.asarray(y), ty, atol=2e-3)
+        assert float(np.abs(np.asarray(y)).max()) < 10.0

@@ -169,3 +169,52 @@ class TestForwardOnImportedWeights:
                           "batch_stats": merged["batch_stats"]}).input_encoder
         ours = np.asarray(enc(jnp.asarray(x), jnp.ones(x.shape[0]), False))
         np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestMalformedTensors:
+    def _save_and_read(self, tmp_path, sd):
+        import torch
+
+        p = tmp_path / "ck.pt"
+        torch.save({"model_state_dict": sd, "epoch": 1}, str(p))
+        return read_torch_checkpoint(p)
+
+    def test_noncontiguous_tensor_reported_not_scrambled(self, tmp_path):
+        import torch
+
+        base = torch.arange(12, dtype=torch.float32).reshape(3, 4)
+        sd = {"ok": base.clone(), "bad": base.t()}  # transposed view
+        out = self._save_and_read(tmp_path, sd)
+        np.testing.assert_array_equal(out["state_dict"]["ok"],
+                                      base.numpy())
+        # torch.save preserves storage+stride; a flat reshape would scramble
+        # the transposed view — it must land in missing, never in state_dict.
+        assert "bad" in out["missing"]
+        assert "bad" not in out["state_dict"]
+
+    def test_unknown_storage_dtype_reported(self, tmp_path):
+        import torch
+
+        sd = {"bf": torch.zeros(4, dtype=torch.bfloat16),
+              "f": torch.ones(4, dtype=torch.float32)}
+        out = self._save_and_read(tmp_path, sd)
+        assert "bf" in out["missing"]
+        np.testing.assert_array_equal(out["state_dict"]["f"], np.ones(4))
+
+    def test_truncation_to_odd_byte_count_recovers(self, tmp_path):
+        import torch
+
+        sd = {"a": torch.arange(64, dtype=torch.float32),
+              "z": torch.arange(64, dtype=torch.float32)}
+        p = tmp_path / "ck.pt"
+        torch.save({"model_state_dict": sd}, str(p))
+        blob = p.read_bytes()
+        # cut mid-archive at an offset that is NOT a multiple of 4
+        cut = (len(blob) * 3 // 4) | 1
+        q = tmp_path / "trunc.pt"
+        q.write_bytes(blob[:cut])
+        out = read_torch_checkpoint(q)  # must not raise
+        recovered = set(out["state_dict"]) | set(out["missing"])
+        assert recovered == {"a", "z"}
+        for k, v in out["state_dict"].items():
+            np.testing.assert_array_equal(v, np.arange(64, dtype=np.float32))
