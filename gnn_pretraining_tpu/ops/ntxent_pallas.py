@@ -224,23 +224,29 @@ def _ntx_fwd(z1, z2, temperature, valid):
     zhat, vv, norm = _prep(z1, z2, valid)
     loss, mx, den = _fwd_call(zhat, vv, temperature)
     out = (jnp.sum(loss * vv), jnp.sum(vv))
-    return out, (z1, z2, temperature, valid, zhat, vv, norm, mx, den)
+    # zero-size dtype carriers: the bwd needs only shapes/dtypes of z1/z2,
+    # not their values — saving the full arrays would hold 2 extra [N, D]
+    # buffers live across fwd/bwd.
+    dt1 = jnp.zeros((0,), z1.dtype)
+    dt2 = jnp.zeros((0,), z2.dtype)
+    return out, (dt1, dt2, temperature, zhat, vv, norm, mx, den)
 
 
 def _ntx_bwd(res, cotangents):
-    z1, z2, temperature, valid, zhat, vv, norm, mx, den = res
+    dt1, dt2, temperature, zhat, vv, norm, mx, den = res
     g_sum, _ = cotangents  # num_rows is integer-valued; no useful gradient
     g_rows = vv * g_sum
     dzhat = _bwd_call(zhat, vv, temperature, mx, den, g_rows)
-    # VJP of row normalization ẑ = z/|z| (on valid rows; invalid rows were
-    # zeroed and receive no gradient).
-    n = z1.shape[0]
-    z = jnp.concatenate([z1, z2], axis=0).astype(jnp.float32)
-    zh_unmasked = z / norm
-    dz = (dzhat - zh_unmasked * jnp.sum(dzhat * zh_unmasked, axis=1,
-                                        keepdims=True)) / norm
+    # VJP of row normalization ẑ = z/|z|. zhat (invalid rows zeroed) equals
+    # z/|z| on every valid row, and dz is masked by vv below, so it can
+    # stand in for the unmasked normalization — no recompute needed.
+    # NOTE: the temperature cotangent is None — τ comes from a schedule, not
+    # a parameter, and the caller (tasks._nt_xent) stops its gradient on the
+    # XLA path too so both implementations agree.
+    n = zhat.shape[0] // 2
+    dz = (dzhat - zhat * jnp.sum(dzhat * zhat, axis=1, keepdims=True)) / norm
     dz = dz * vv[:, None]
-    return dz[:n].astype(z1.dtype), dz[n:].astype(z2.dtype), None, None
+    return dz[:n].astype(dt1.dtype), dz[n:].astype(dt2.dtype), None, None
 
 
 nt_xent_pallas.defvjp(_ntx_fwd, _ntx_bwd)
