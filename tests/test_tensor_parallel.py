@@ -97,6 +97,40 @@ def test_tp_forward_and_grads_match_single_device(setup):
         ref_grads, jax.device_get(tp_grads))
 
 
+def test_tp_composes_with_data_axis_on_2x4_mesh(setup):
+    """Node rows sharded over 'data' AND the MLP hidden dim over 'model':
+    GSPMD must still reproduce single-device loss+grads exactly (BN over
+    nodes becomes a cross-'data' reduction XLA inserts automatically)."""
+    from jax.sharding import NamedSharding
+
+    model, variables, b = setup
+
+    def loss_fn(params, stats, x, node_mask):
+        logits = model.apply(
+            {"params": params, "batch_stats": stats}, x, node_mask,
+            False, senders=b["senders"], receivers=b["receivers"],
+            edge_mask=b["edge_mask"], node_graph=b["node_graph"],
+            num_graphs=4)
+        return jnp.mean(logits ** 2)
+
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    ref_loss, ref_grads = vg(variables["params"], variables["batch_stats"],
+                             b["x"], b["node_mask"])
+
+    mesh = make_tp_mesh(n_model=4, n_data=2)
+    tp_vars = shard_variables(variables, mesh)
+    x = jax.device_put(b["x"], NamedSharding(mesh, P("data", None)))
+    node_mask = jax.device_put(b["node_mask"], NamedSharding(mesh, P("data")))
+    tp_loss, tp_grads = vg(tp_vars["params"], tp_vars["batch_stats"],
+                           x, node_mask)
+
+    np.testing.assert_allclose(float(tp_loss), float(ref_loss), rtol=1e-5)
+    jax.tree.map(
+        lambda a, c: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-5),
+        ref_grads, jax.device_get(tp_grads))
+
+
 def test_tp_bn_stat_updates_match_single_device(setup):
     model, variables, b = setup
 
