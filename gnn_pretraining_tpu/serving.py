@@ -86,23 +86,46 @@ def make_serving_fn(model: FinetuneGNN, variables: Dict[str, Any]
     raise ValueError(task_type)
 
 
+def make_embedding_fn(model: FinetuneGNN, variables: Dict[str, Any]
+                      ) -> Tuple[Callable, Tuple[str, ...]]:
+    """Representation serving: encoder + backbone → [N, 256] node embeddings
+    (``FinetuneGNN.embed``), the natural deployment of a pretrained backbone
+    — downstream heads can live in the application."""
+    frozen = {"params": variables["params"],
+              "batch_stats": variables["batch_stats"]}
+    names = ("x", "node_mask", "senders", "receivers", "edge_mask")
+
+    def fn(x, node_mask, senders, receivers, edge_mask):
+        return model.apply(frozen, x, node_mask, False, senders=senders,
+                           receivers=receivers, edge_mask=edge_mask,
+                           method=model.embed)
+
+    return fn, names
+
+
 def export_serving(model: FinetuneGNN, variables: Dict[str, Any],
                    example: Dict[str, Any],
-                   platforms: Sequence[str] = ("tpu", "cpu")) -> bytes:
+                   platforms: Sequence[str] = ("tpu", "cpu"),
+                   embed_only: bool = False) -> bytes:
     """Serialize an AOT inference artifact for ``example``'s padded shapes.
 
     ``example`` maps the task type's input names (see module docstring) to
     arrays; for graph classification it must also carry ``num_graphs`` (a
-    static int — the padded graph count of the serving bucket).
+    static int — the padded graph count of the serving bucket). With
+    ``embed_only`` the artifact returns node embeddings instead of task
+    outputs.
     """
     if model.aggregation not in ("dense", "coo"):
         raise ValueError(
             f"aggregation={model.aggregation!r} is not exportable; build the "
             "serving model with 'dense' or 'coo' (XLA) aggregation")
-    fn, names = make_serving_fn(model, variables)
     example = dict(example)
-    if config.TASK_TYPES[model.domain_name] == "graph_classification":
-        fn = fn(int(example.pop("num_graphs")))
+    if embed_only:
+        fn, names = make_embedding_fn(model, variables)
+    else:
+        fn, names = make_serving_fn(model, variables)
+        if config.TASK_TYPES[model.domain_name] == "graph_classification":
+            fn = fn(int(example.pop("num_graphs")))
     args = tuple(jnp.asarray(example[n]) for n in names)
     exported = jax_export.export(jax.jit(fn), platforms=tuple(platforms))(
         *args)

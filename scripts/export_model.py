@@ -50,6 +50,9 @@ def main() -> None:
                    help="edges scored per call (link prediction)")
     p.add_argument("--aggregation", default="coo", choices=["coo", "dense"])
     p.add_argument("--platforms", default="tpu,cpu")
+    p.add_argument("--embed", action="store_true",
+                   help="export node embeddings (encoder+backbone) instead "
+                        "of task outputs")
     args = p.parse_args()
 
     ckpt = load_checkpoint(args.checkpoint)
@@ -72,12 +75,40 @@ def main() -> None:
         example["score_senders"] = np.zeros(args.num_score_edges, np.int32)
         example["score_receivers"] = np.zeros(args.num_score_edges, np.int32)
 
+    variables = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
+    if "input_encoder" not in variables["params"]:
+        # A *pretrain* checkpoint (per-domain encoders): route it through the
+        # finetune transfer contract (backbone + BN stats always; the encoder
+        # only for ENZYMES, models/finetune_model.py:76-93). Other leaves are
+        # fresh-init — fine for --embed (heads unused) on ENZYMES, meaningless
+        # for task serving, so refuse that.
+        if not args.embed or args.domain_name != "ENZYMES":
+            raise SystemExit(
+                "pretrain checkpoints export only with --embed and "
+                "--domain_name ENZYMES (no transferred encoder/head exists "
+                "for other domains); fine-tune first for task serving")
+        import jax as _jax
+
+        from gnn_pretraining_tpu.models.finetune_model import (
+            load_pretrained_into_finetune,
+        )
+
+        ft_vars = model.init(
+            {"params": _jax.random.PRNGKey(0),
+             "dropout": _jax.random.PRNGKey(1)},
+            example["x"], example["node_mask"], False,
+            senders=example["senders"], receivers=example["receivers"],
+            edge_mask=example["edge_mask"],
+            method=model.embed)
+        variables = load_pretrained_into_finetune(ft_vars, ckpt,
+                                                  args.domain_name)
     blob = serving.export_serving(
-        model, {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]},
-        example, platforms=tuple(args.platforms.split(",")))
+        model, variables, example, platforms=tuple(args.platforms.split(",")),
+        embed_only=args.embed)
     serving.save_artifact(args.out, blob)
     print(f"Wrote {args.out} ({len(blob) / 1e6:.2f} MB, "
-          f"platforms={args.platforms}, bucket N={n} E={e})")
+          f"platforms={args.platforms}, bucket N={n} E={e}"
+          f"{', embeddings' if args.embed else ''})")
 
 
 if __name__ == "__main__":

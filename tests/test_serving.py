@@ -91,6 +91,25 @@ def test_cross_platform_lowering_includes_tpu():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-6)
 
 
+def test_embedding_export_matches_embed_method(tmp_path):
+    rng = np.random.default_rng(4)
+    model, variables, ex, _ = _init_and_reference("ENZYMES", rng)
+    blob = serving.export_serving(model, variables, ex, platforms=("cpu",),
+                                  embed_only=True)
+    served = serving.load_serving(blob)
+    args = tuple(jnp.asarray(ex[n]) for n in
+                 ("x", "node_mask", "senders", "receivers", "edge_mask"))
+    out = served(*args)
+    ref = model.apply({"params": variables["params"],
+                       "batch_stats": variables["batch_stats"]},
+                      args[0], args[1], False, senders=args[2],
+                      receivers=args[3], edge_mask=args[4],
+                      method=model.embed)
+    assert out.shape == (ex["x"].shape[0], 256)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_pallas_aggregation_rejected():
     rng = np.random.default_rng(3)
     model, variables, ex, _ = _init_and_reference("Cora_NC", rng)
