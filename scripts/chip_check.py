@@ -37,13 +37,20 @@ def check(name, fn):
 
 
 def main():
+    import signal
+
     import jax
     import jax.numpy as jnp
 
     from gnn_pretraining_tpu.utils.runtime import setup_jax
 
     setup_jax()
+    # Fail fast (SIGALRM default disposition) instead of hanging forever if
+    # the TPU relay is unreachable; backend init blocks in C, so a Python
+    # handler would never fire.
+    signal.alarm(240)
     print("backend:", jax.default_backend(), flush=True)
+    signal.alarm(0)
     if jax.default_backend() != "tpu":
         print("WARNING: not on TPU — this defeats the point of chip_check")
 
