@@ -40,7 +40,12 @@ from gnn_pretraining_tpu.models.finetune_model import FinetuneGNN
 
 def make_serving_fn(model: FinetuneGNN, variables: Dict[str, Any]
                     ) -> Tuple[Callable, Tuple[str, ...]]:
-    """Eval-mode closure over the weights + its positional input names."""
+    """Eval-mode closure over the weights + its positional input names.
+
+    For graph classification the first element is a *factory*
+    ``make(num_graphs) -> fn`` (the padded graph count is a static shape
+    argument); for the other task types it is the serving ``fn`` itself.
+    ``export_serving`` handles both."""
     task_type = config.TASK_TYPES[model.domain_name]
     frozen = {"params": variables["params"],
               "batch_stats": variables["batch_stats"]}
