@@ -231,6 +231,49 @@ def main():
 
     check("finetune one epoch per task type (GC/NC/LP)", finetune_steps)
 
+    # -- 6. serving artifact executes on the chip ---------------------------
+    def serving_artifact():
+        import jax.numpy as jnp
+
+        from gnn_pretraining_tpu import config, serving
+        from gnn_pretraining_tpu.models.finetune_model import FinetuneGNN
+
+        rng = np.random.default_rng(0)
+        n, e = 256, 512
+        model = FinetuneGNN(domain_name="Cora_NC", aggregation="coo")
+        ex = {
+            "x": rng.normal(size=(n, config.DOMAIN_DIMENSIONS["Cora_NC"])
+                            ).astype(np.float32),
+            "node_mask": np.ones(n, np.float32),
+            "senders": rng.integers(0, n, e).astype(np.int32),
+            "receivers": rng.integers(0, n, e).astype(np.int32),
+            "edge_mask": np.ones(e, np.float32),
+        }
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            jnp.asarray(ex["x"]), jnp.asarray(ex["node_mask"]), False,
+            senders=jnp.asarray(ex["senders"]),
+            receivers=jnp.asarray(ex["receivers"]),
+            edge_mask=jnp.asarray(ex["edge_mask"]))
+        ref = model.apply({"params": variables["params"],
+                           "batch_stats": variables["batch_stats"]},
+                          jnp.asarray(ex["x"]), jnp.asarray(ex["node_mask"]),
+                          False, senders=jnp.asarray(ex["senders"]),
+                          receivers=jnp.asarray(ex["receivers"]),
+                          edge_mask=jnp.asarray(ex["edge_mask"]))
+        blob = serving.export_serving(model, variables, ex,
+                                      platforms=("tpu", "cpu"))
+        served = serving.load_serving(blob)
+        out = served(*(jnp.asarray(ex[k]) for k in
+                       ("x", "node_mask", "senders", "receivers",
+                        "edge_mask")))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-2)  # chip matmuls: bf16
+
+    check("serving artifact (tpu+cpu lowering) replays on chip",
+          serving_artifact)
+
     if FAILURES:
         print(f"\nCHIP CHECK FAILED: {FAILURES}", flush=True)
         sys.exit(1)
