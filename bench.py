@@ -163,20 +163,16 @@ def _mining_topk_bench(jax, jnp, n, k):
 
 
 def main() -> None:
-    import signal
-
     import jax
     import jax.numpy as jnp
 
-    from gnn_pretraining_tpu.utils.runtime import setup_jax
+    from gnn_pretraining_tpu.utils.runtime import (
+        fail_fast_backend_init,
+        setup_jax,
+    )
 
     setup_jax()
-    # Backend init blocks in C when the TPU relay is unreachable, so a Python
-    # handler would never run — rely on SIGALRM's default disposition
-    # (terminate) to fail fast instead of hanging the harness.
-    signal.alarm(240)
-    jax.devices()
-    signal.alarm(0)
+    fail_fast_backend_init()
     # The flagship Cora SpMM metric prints LAST: harnesses that keep a single
     # JSON line from the output take the final one.
     results = [

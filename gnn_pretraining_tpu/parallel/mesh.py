@@ -27,7 +27,7 @@ def make_mesh(n_data: Optional[int] = None, n_edge: int = 1,
     if n_data is None:
         n_data = len(devices) // n_edge
     if n_data * n_edge > len(devices):
-        raise ValueError(f"mesh {n_data}x{n_edge} needs more than "
-                         f"{len(devices)} devices")
+        raise ValueError(f"mesh {n_data}x{n_edge} needs {n_data * n_edge} "
+                         f"devices, only {len(devices)} available")
     dev_array = np.array(devices[: n_data * n_edge]).reshape(n_data, n_edge)
     return Mesh(dev_array, axis_names=("data", "edge"))

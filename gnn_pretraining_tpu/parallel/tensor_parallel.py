@@ -41,8 +41,8 @@ def make_tp_mesh(n_model: Optional[int] = None, n_data: int = 1,
     if n_model is None:
         n_model = len(devices) // n_data
     if n_data * n_model > len(devices):
-        raise ValueError(f"mesh {n_data}x{n_model} needs more than "
-                         f"{len(devices)} devices")
+        raise ValueError(f"mesh {n_data}x{n_model} needs {n_data * n_model} "
+                         f"devices, only {len(devices)} available")
     dev_array = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(dev_array, axis_names=("data", "model"))
 

@@ -25,6 +25,19 @@ def setup_jax(cache_dir: Path | None = None) -> None:
         pass  # older jaxlib without the knobs
 
 
+def fail_fast_backend_init(timeout_s: int = 240):
+    """First backend use blocks in C when the TPU relay is unreachable, so a
+    Python signal handler would never run — rely on SIGALRM's default
+    disposition (terminate) to kill the process after ``timeout_s`` instead
+    of hanging the harness. Returns the devices on success."""
+    import signal
+
+    signal.alarm(timeout_s)
+    devices = jax.devices()
+    signal.alarm(0)
+    return devices
+
+
 def rss_gb() -> float:
     """Current resident set size of this process in GiB (linux)."""
     try:

@@ -10,6 +10,8 @@ step per task family ON THE CHIP and exits non-zero on any failure:
   3. Two-stage exact top-k vs flat lax.top_k.
   4. One pretrain multi-task chunk step (s5: 5 tasks + PCGrad + balancer).
   5. One fine-tune train step per task type (GC / NC / LP).
+  6. A tpu+cpu serving artifact (jax.export) replays on the chip and matches
+     a direct apply (bf16-tolerant).
 
 Run (background — first compiles take minutes through the relay):
     python scripts/chip_check.py
@@ -37,20 +39,17 @@ def check(name, fn):
 
 
 def main():
-    import signal
-
     import jax
     import jax.numpy as jnp
 
-    from gnn_pretraining_tpu.utils.runtime import setup_jax
+    from gnn_pretraining_tpu.utils.runtime import (
+        fail_fast_backend_init,
+        setup_jax,
+    )
 
     setup_jax()
-    # Fail fast (SIGALRM default disposition) instead of hanging forever if
-    # the TPU relay is unreachable; backend init blocks in C, so a Python
-    # handler would never fire.
-    signal.alarm(240)
+    fail_fast_backend_init()
     print("backend:", jax.default_backend(), flush=True)
-    signal.alarm(0)
     if jax.default_backend() != "tpu":
         print("WARNING: not on TPU — this defeats the point of chip_check")
 
