@@ -30,11 +30,12 @@ class FinetuneGNN(nn.Module):
     aggregation: str = "dense"
     axis_name: Optional[str] = None
     edge_axis: Optional[str] = None  # edge-partitioned message passing
+    remat: bool = False  # per-layer jax.checkpoint in the backbone
 
     def setup(self):
         self.input_encoder = InputEncoder(axis_name=self.axis_name)
         self.gnn_backbone = GINBackbone(self.aggregation, self.axis_name,
-                                        self.edge_axis)
+                                        self.edge_axis, remat=self.remat)
         task_type = config.TASK_TYPES[self.domain_name]
         c = config.NUM_CLASSES[self.domain_name]
         if task_type == "graph_classification":

@@ -39,6 +39,7 @@ class PretrainableGNN(nn.Module):
     task_names: Tuple[str, ...]
     aggregation: str = "dense"
     axis_name: Optional[str] = None
+    remat: bool = False  # per-layer jax.checkpoint in the backbone
 
     def setup(self):
         self.input_encoders = {d: InputEncoder(axis_name=self.axis_name)
@@ -47,7 +48,8 @@ class PretrainableGNN(nn.Module):
             "mask_token",
             lambda k, s: config.MASK_TOKEN_INIT_STD * jax.random.normal(k, s),
             (H,))
-        self.gnn_backbone = GINBackbone(self.aggregation, self.axis_name)
+        self.gnn_backbone = GINBackbone(self.aggregation, self.axis_name,
+                                        remat=self.remat)
 
         if "node_feat_mask" in self.task_names:
             self.heads_node_feat_mask = {

@@ -293,3 +293,49 @@ class TestBatchNormLargeMean:
         ty = tbn(torch.tensor(x)).detach().numpy()
         np.testing.assert_allclose(np.asarray(y), ty, atol=2e-3)
         assert float(np.abs(np.asarray(y)).max()) < 10.0
+
+
+class TestRematBackbone:
+    """remat=True (per-layer jax.checkpoint) must change memory, not math."""
+
+    def test_remat_loss_and_grads_identical(self):
+        rng = np.random.default_rng(0)
+        n, e = 48, 96
+        x = jnp.asarray(rng.normal(size=(n, 21)).astype(np.float32))
+        node_mask = jnp.ones(n, jnp.float32)
+        senders = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+        receivers = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+        edge_mask = jnp.ones(e, jnp.float32)
+        node_graph = jnp.asarray(np.repeat(np.arange(4), n // 4
+                                           ).astype(np.int32))
+
+        def build(remat):
+            return FinetuneGNN(domain_name="ENZYMES", aggregation="coo",
+                               remat=remat)
+
+        variables = build(False).init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, node_mask, False, senders=senders, receivers=receivers,
+            edge_mask=edge_mask, node_graph=node_graph, num_graphs=4)
+
+        def loss(model, params, stats):
+            out = model.apply({"params": params, "batch_stats": stats},
+                              x, node_mask, False, senders=senders,
+                              receivers=receivers, edge_mask=edge_mask,
+                              node_graph=node_graph, num_graphs=4)
+            return jnp.mean(out ** 2)
+
+        ref_l, ref_g = jax.value_and_grad(
+            lambda p: loss(build(False), p, variables["batch_stats"]))(
+                variables["params"])
+        rem_l, rem_g = jax.value_and_grad(
+            lambda p: loss(build(True), p, variables["batch_stats"]))(
+                variables["params"])
+
+        # Identical param tree (remat must not rename/rescope anything) and
+        # bit-identical math: the recomputed forward is the same program.
+        assert jax.tree_util.tree_structure(ref_g) == \
+            jax.tree_util.tree_structure(rem_g)
+        np.testing.assert_array_equal(np.asarray(ref_l), np.asarray(rem_l))
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7), ref_g, rem_g)
