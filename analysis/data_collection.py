@@ -68,17 +68,45 @@ def extract_all_finetune_results(metrics_dir: Optional[Path] = None
     return pd.DataFrame(rows)
 
 
+KEY_COLS = ["domain", "strategy", "scheme", "seed"]
+
+
+def merge_results(fresh: pd.DataFrame, existing: pd.DataFrame) -> pd.DataFrame:
+    """Merge a freshly collected frame with a previously written results CSV.
+
+    The metrics store (``outputs/``) is ephemeral (gitignored, lost on
+    container resets) while ``experiment_results.csv`` is tracked, so a
+    rebuild must never drop rows that only survive in the CSV. Fresh rows win
+    per (domain, strategy, scheme, seed) cell; existing rows are kept for
+    cells absent from the metrics store."""
+    if existing.empty:
+        return fresh
+    if fresh.empty:
+        return existing
+    fresh_keys = set(map(tuple, fresh[KEY_COLS].itertuples(index=False)))
+    keep = existing[~existing[KEY_COLS].apply(
+        lambda r: tuple(r) in fresh_keys, axis=1)]
+    return pd.concat([keep, fresh], ignore_index=True)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--metrics_dir", type=str, default=None)
     parser.add_argument("--out", type=str,
                         default=str(RESULTS_DIR / "experiment_results.csv"))
+    parser.add_argument("--no_merge", action="store_true",
+                        help="rebuild from the metrics store only, discarding "
+                             "rows that exist solely in the output CSV")
     args = parser.parse_args()
     df = extract_all_finetune_results(args.metrics_dir)
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
+    n_fresh = len(df)
+    if not args.no_merge and out.exists():
+        df = merge_results(df, pd.read_csv(out))
+    df = df.sort_values(KEY_COLS).reset_index(drop=True)
     df.to_csv(out, index=False)
-    print(f"Wrote {len(df)} rows -> {out}")
+    print(f"Wrote {len(df)} rows ({n_fresh} fresh) -> {out}")
 
 
 if __name__ == "__main__":
