@@ -30,9 +30,26 @@ from gnn_pretraining_tpu import config  # noqa: E402
 from gnn_pretraining_tpu.utils.runtime import setup_jax  # noqa: E402
 
 
+RESULTS_CSV = (config.REPO_ROOT / "analysis" / "results"
+               / "experiment_results.csv")
+
+
 def collect() -> None:
     subprocess.run([sys.executable, "analysis/data_collection.py"],
                    cwd=config.REPO_ROOT, check=False)
+
+
+def cells_in_csv() -> set:
+    """Cells already recorded in the tracked results CSV. Completion markers
+    (outputs/metrics) die with the container; the CSV is the cross-reset
+    source of truth, so a cell present there never re-runs."""
+    if not RESULTS_CSV.exists():
+        return set()
+    import csv
+
+    with open(RESULTS_CSV) as f:
+        return {(r["domain"], r["strategy"], r["scheme"], int(r["seed"]))
+                for r in csv.DictReader(f)}
 
 
 def main() -> None:
@@ -65,11 +82,16 @@ def main() -> None:
 
     ft_args = Args()
 
+    done = cells_in_csv()
+
     # Phase 0: b1 cells — no pretrained checkpoint involved.
-    b1_grid = [("CiteSeer_LP", st, "b1", seed)
-               for st in config.FINETUNE_STRATEGIES for seed in config.SEEDS]
-    run_grid(b1_grid, ft_args)
-    collect()
+    b1_grid = [c for c in
+               [("CiteSeer_LP", st, "b1", seed)
+                for st in config.FINETUNE_STRATEGIES for seed in config.SEEDS]
+               if c not in done]
+    if b1_grid:
+        run_grid(b1_grid, ft_args)
+        collect()
 
     # Phase 1: per (scheme, seed) chunk — pretrain, then dependents.
     class PreArgs:
@@ -80,6 +102,15 @@ def main() -> None:
 
     for scheme in config.ALL_SCHEMES:
         for seed in config.SEEDS:
+            dep_grid = [c for c in
+                        [("CiteSeer_LP", "full_finetune", scheme, seed),
+                         ("CiteSeer_LP", "linear_probe", scheme, seed),
+                         ("Cora_LP", "linear_probe", scheme, seed)]
+                        if c not in done]
+            if not dep_grid:
+                print(f"=== {scheme}_{seed}: all dependents in CSV, "
+                      "skipping chunk ===", flush=True)
+                continue
             pcfg = config.PretrainConfig(exp_name=scheme, seed=seed)
             if not pre_done(pcfg, PreArgs()):
                 print(f"=== pretrain {pcfg.run_name} start ===", flush=True)
@@ -94,9 +125,6 @@ def main() -> None:
                     print(f"=== pretrain {pcfg.run_name} FAILED ===",
                           flush=True)
                     continue
-            dep_grid = [("CiteSeer_LP", "full_finetune", scheme, seed),
-                        ("CiteSeer_LP", "linear_probe", scheme, seed),
-                        ("Cora_LP", "linear_probe", scheme, seed)]
             run_grid(dep_grid, ft_args)
             collect()
     print("=== resume_lp_sweep done ===", flush=True)
