@@ -177,3 +177,30 @@ class TestParityReport:
         rep = parity.build_report()
         assert (rep.metric == "auc").all()
         np.testing.assert_allclose(rep.value_tpu, 0.08)
+
+
+class TestMergeResults:
+    """merge_results keeps CSV-only cells and prefers fresh rows — the
+    metrics store is ephemeral (container resets wipe outputs/) while the
+    results CSV is tracked, so a rebuild must never drop surviving rows."""
+
+    def _frame(self, cells, auc):
+        return pd.DataFrame([
+            {"domain": d, "strategy": st, "scheme": sc, "seed": s, "auc": auc}
+            for d, st, sc, s in cells])
+
+    def test_fresh_wins_existing_survives(self):
+        existing = self._frame([("Cora_LP", "full_finetune", "b1", 42),
+                                ("Cora_NC", "full_finetune", "b1", 42)], 0.1)
+        fresh = self._frame([("Cora_LP", "full_finetune", "b1", 42)], 0.9)
+        out = collection.merge_results(fresh, existing)
+        assert len(out) == 2
+        by = out.set_index("domain")["auc"]
+        assert by["Cora_LP"] == 0.9      # fresh replaces
+        assert by["Cora_NC"] == 0.1      # CSV-only cell kept
+
+    def test_empty_sides(self):
+        frame = self._frame([("Cora_LP", "linear_probe", "s1", 84)], 0.5)
+        empty = pd.DataFrame()
+        assert collection.merge_results(frame, empty).equals(frame)
+        assert collection.merge_results(empty, frame).equals(frame)
