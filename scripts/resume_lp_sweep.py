@@ -52,6 +52,27 @@ def cells_in_csv() -> set:
                 for r in csv.DictReader(f)}
 
 
+def plan(done: set):
+    """Work plan given the cells already recorded: the b1 grid (no pretrain
+    dependency) and the per-(scheme, seed) chunks of dependent fine-tune
+    cells, skipping chunks whose dependents are all recorded."""
+    b1_grid = [c for c in
+               [("CiteSeer_LP", st, "b1", seed)
+                for st in config.FINETUNE_STRATEGIES for seed in config.SEEDS]
+               if c not in done]
+    chunks = []
+    for scheme in config.ALL_SCHEMES:
+        for seed in config.SEEDS:
+            dep_grid = [c for c in
+                        [("CiteSeer_LP", "full_finetune", scheme, seed),
+                         ("CiteSeer_LP", "linear_probe", scheme, seed),
+                         ("Cora_LP", "linear_probe", scheme, seed)]
+                        if c not in done]
+            if dep_grid:
+                chunks.append((scheme, seed, dep_grid))
+    return b1_grid, chunks
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--aggregation", type=str, default="pallas")
@@ -82,13 +103,9 @@ def main() -> None:
 
     ft_args = Args()
 
-    done = cells_in_csv()
+    b1_grid, chunks = plan(cells_in_csv())
 
     # Phase 0: b1 cells — no pretrained checkpoint involved.
-    b1_grid = [c for c in
-               [("CiteSeer_LP", st, "b1", seed)
-                for st in config.FINETUNE_STRATEGIES for seed in config.SEEDS]
-               if c not in done]
     if b1_grid:
         run_grid(b1_grid, ft_args)
         collect()
@@ -100,33 +117,22 @@ def main() -> None:
         epochs = config.PRETRAIN_EPOCHS
         out_root = None
 
-    for scheme in config.ALL_SCHEMES:
-        for seed in config.SEEDS:
-            dep_grid = [c for c in
-                        [("CiteSeer_LP", "full_finetune", scheme, seed),
-                         ("CiteSeer_LP", "linear_probe", scheme, seed),
-                         ("Cora_LP", "linear_probe", scheme, seed)]
-                        if c not in done]
-            if not dep_grid:
-                print(f"=== {scheme}_{seed}: all dependents in CSV, "
-                      "skipping chunk ===", flush=True)
-                continue
-            pcfg = config.PretrainConfig(exp_name=scheme, seed=seed)
-            if not pre_done(pcfg, PreArgs()):
-                print(f"=== pretrain {pcfg.run_name} start ===", flush=True)
-                try:
-                    pretrain(pcfg, aggregation=args_ns.aggregation,
-                             epochs=config.PRETRAIN_EPOCHS, use_wandb=False,
-                             resume=True)
-                except Exception:
-                    import traceback
+    for scheme, seed, dep_grid in chunks:
+        pcfg = config.PretrainConfig(exp_name=scheme, seed=seed)
+        if not pre_done(pcfg, PreArgs()):
+            print(f"=== pretrain {pcfg.run_name} start ===", flush=True)
+            try:
+                pretrain(pcfg, aggregation=args_ns.aggregation,
+                         epochs=config.PRETRAIN_EPOCHS, use_wandb=False,
+                         resume=True)
+            except Exception:
+                import traceback
 
-                    traceback.print_exc()
-                    print(f"=== pretrain {pcfg.run_name} FAILED ===",
-                          flush=True)
-                    continue
-            run_grid(dep_grid, ft_args)
-            collect()
+                traceback.print_exc()
+                print(f"=== pretrain {pcfg.run_name} FAILED ===", flush=True)
+                continue
+        run_grid(dep_grid, ft_args)
+        collect()
     print("=== resume_lp_sweep done ===", flush=True)
 
 

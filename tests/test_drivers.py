@@ -100,3 +100,38 @@ class TestSamplerBounds:
             assert step.senders.shape == (n_dev, e_pad)
             per_dev_graphs = np.asarray(step.graph_mask).sum(axis=1)
             assert per_dev_graphs.sum() == sampler.samples_per_domain
+
+
+class TestResumeLpSweepPlan:
+    """scripts/resume_lp_sweep.py treats CSV presence as cross-reset
+    completion: cells already recorded never re-run, and a (scheme, seed)
+    pretrain chunk is skipped entirely once all its dependents are in."""
+
+    def _mod(self):
+        return _load("rls", ROOT / "scripts" / "resume_lp_sweep.py")
+
+    def test_empty_csv_plans_everything(self):
+        m = self._mod()
+        b1, chunks = m.plan(set())
+        assert len(b1) == 6                       # 2 strategies x 3 seeds
+        assert len(chunks) == 24                  # 8 schemes x 3 seeds
+        assert all(len(dep) == 3 for _, _, dep in chunks)
+
+    def test_recorded_cells_drop_out(self):
+        m = self._mod()
+        done = {("CiteSeer_LP", "full_finetune", "b1", 42),
+                # full b2_42 chunk recorded -> whole chunk skipped
+                ("CiteSeer_LP", "full_finetune", "b2", 42),
+                ("CiteSeer_LP", "linear_probe", "b2", 42),
+                ("Cora_LP", "linear_probe", "b2", 42),
+                # partial b3_84 chunk -> only the missing dependents remain
+                ("CiteSeer_LP", "full_finetune", "b3", 84)}
+        b1, chunks = m.plan(done)
+        assert len(b1) == 5
+        keys = {(s, seed) for s, seed, _ in chunks}
+        assert ("b2", 42) not in keys
+        (dep,) = [d for s, seed, d in chunks if (s, seed) == ("b3", 84)]
+        assert dep  # truthy
+        deps = dict(((s, seed), d) for s, seed, d in chunks)
+        assert len(deps[("b3", 84)]) == 2
+        assert len(deps[("b3", 42)]) == 3
