@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import subprocess
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -121,16 +122,21 @@ def main() -> None:
         pcfg = config.PretrainConfig(exp_name=scheme, seed=seed)
         if not pre_done(pcfg, PreArgs()):
             print(f"=== pretrain {pcfg.run_name} start ===", flush=True)
+            t0 = time.time()
             try:
-                pretrain(pcfg, aggregation=args_ns.aggregation,
-                         epochs=config.PRETRAIN_EPOCHS, use_wandb=False,
-                         resume=True)
+                res = pretrain(pcfg, aggregation=args_ns.aggregation,
+                               epochs=config.PRETRAIN_EPOCHS, use_wandb=False,
+                               resume=True)
             except Exception:
                 import traceback
 
                 traceback.print_exc()
                 print(f"=== pretrain {pcfg.run_name} FAILED ===", flush=True)
                 continue
+            # cell-timing line in the sweep_report.py format
+            print(f"[1/1] {pcfg.run_name}: "
+                  f"best_val={res['best_val_total']:.4f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
         run_grid(dep_grid, ft_args)
         collect()
     print("=== resume_lp_sweep done ===", flush=True)
