@@ -42,8 +42,9 @@ def parse(log_path: str):
         t0, t1 = stamps.get((phase, "start")), stamps.get((phase, "end"))
         if t0 and t1:
             windows[phase] = t1 - t0
-        elif t0 is not None:
-            # killed mid-phase: bill the time its cells actually ran
+        elif per_phase[phase]:
+            # killed mid-phase or a stampless resume log: bill the time
+            # its cells actually ran
             windows[phase] = sum(s for _, s in per_phase[phase])
     return windows, per_phase
 
