@@ -168,10 +168,12 @@ def main() -> None:
 
     from gnn_pretraining_tpu.utils.runtime import (
         fail_fast_backend_init,
+        reclaim_chip,
         setup_jax,
     )
 
     setup_jax()
+    reclaim_chip()  # the TPU is exclusive; stop a recorded background sweep
     fail_fast_backend_init()
     # The flagship Cora SpMM metric prints LAST: harnesses that keep a single
     # JSON line from the output take the final one.

@@ -38,6 +38,62 @@ def fail_fast_backend_init(timeout_s: int = 240):
     return devices
 
 
+SWEEP_PIDFILE = Path("/tmp/gnn_sweep.pid")
+
+
+def write_pidfile(path: Path = SWEEP_PIDFILE) -> None:
+    """Record this process's PID so chip-exclusive harness jobs (bench.py,
+    chip_check.py) can reclaim the TPU from a long-running sweep. The sweep
+    drivers call this at startup and remove the file at exit; see
+    ``reclaim_chip``."""
+    import atexit
+
+    path.write_text(str(os.getpid()))
+    atexit.register(lambda: path.unlink(missing_ok=True))
+
+
+def reclaim_chip(path: Path = SWEEP_PIDFILE, wait_s: float = 30.0) -> bool:
+    """Terminate the recorded sweep process (exact PID, never a pattern) so
+    this process can take the exclusive TPU.
+
+    The relay serializes backend init: a second process blocks until the
+    first exits, so the end-of-round ``bench.py`` would otherwise hit its
+    fail-fast alarm while a background sweep holds the chip. SIGTERM first
+    (the sweep's collectors flush per-chunk), SIGKILL if it lingers past
+    ``wait_s``. Returns True when a process was reclaimed."""
+    import signal
+    import time
+
+    if not path.exists():
+        return False
+    try:
+        pid = int(path.read_text().strip())
+    except ValueError:
+        path.unlink(missing_ok=True)
+        return False
+    try:
+        os.kill(pid, signal.SIGTERM)
+    except ProcessLookupError:
+        path.unlink(missing_ok=True)
+        return False
+    deadline = time.monotonic() + wait_s
+    while time.monotonic() < deadline:
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            break
+        time.sleep(0.5)
+    else:
+        try:
+            os.kill(pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        time.sleep(1.0)
+    path.unlink(missing_ok=True)
+    print(f"[runtime] reclaimed TPU from sweep pid {pid}", flush=True)
+    return True
+
+
 def rss_gb() -> float:
     """Current resident set size of this process in GiB (linux)."""
     try:

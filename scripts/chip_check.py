@@ -44,10 +44,12 @@ def main():
 
     from gnn_pretraining_tpu.utils.runtime import (
         fail_fast_backend_init,
+        reclaim_chip,
         setup_jax,
     )
 
     setup_jax()
+    reclaim_chip()  # the TPU is exclusive; stop a recorded background sweep
     fail_fast_backend_init()
     print("backend:", jax.default_backend(), flush=True)
     if jax.default_backend() != "tpu":

@@ -28,7 +28,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from gnn_pretraining_tpu import config  # noqa: E402
-from gnn_pretraining_tpu.utils.runtime import setup_jax  # noqa: E402
+from gnn_pretraining_tpu.utils.runtime import (  # noqa: E402
+    setup_jax,
+    write_pidfile,
+)
 
 
 RESULTS_CSV = (config.REPO_ROOT / "analysis" / "results"
@@ -79,12 +82,13 @@ def main() -> None:
     parser.add_argument("--aggregation", type=str, default="pallas")
     args_ns = parser.parse_args()
 
+    write_pidfile()  # lets bench/chip_check reclaim the exclusive chip
     setup_jax()
     import jax
 
     assert jax.default_backend() == "tpu", "TPU relay unreachable"
 
-    if not (config.PROCESSED_DIR / "ENZYMES").exists():
+    if not (config.PROCESSED_DIR / "ENZYMES.npz").exists():
         from gnn_pretraining_tpu.data.setup import main as setup_data
 
         setup_data()
