@@ -92,6 +92,14 @@ BN_EPS = 1e-5
 # single-chip path; the SPMD path always uses the gather-based XLA variant.
 FUSED_NTXENT = True
 
+# Below this many rows the XLA nt_xent_loss formula is faster on the v5e
+# (bench.py measured the fused kernel at 0.55x XLA for n=1024, d=128: XLA
+# fuses the small 2Nx2N similarity matrix fine, and the Pallas grid has too
+# few tiles to fill the core). The fused kernel exists for its O(N) memory —
+# no 2Nx2N in HBM — which only matters at large N, mirroring the streaming
+# miner's 8192-row dispatch (finetune/mining.py).
+FUSED_NTXENT_MIN_ROWS = 8192
+
 # ---------------------------------------------------------------------------
 # Augmentations (reference: src/pretrain/augmentations.py:7-14)
 # ---------------------------------------------------------------------------

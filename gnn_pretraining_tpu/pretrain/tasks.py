@@ -37,7 +37,11 @@ from gnn_pretraining_tpu.ops.sddmm import nt_xent_loss
 
 
 def _nt_xent(z1, z2, temperature, valid, axis_name):
-    if axis_name is None and config.FUSED_NTXENT:
+    # Shape is static under jit, so this dispatch costs nothing at runtime:
+    # small batches take the XLA formula (faster on-chip below the
+    # threshold), large ones the fused Pallas kernel (O(N) memory).
+    if (axis_name is None and config.FUSED_NTXENT
+            and z1.shape[0] >= config.FUSED_NTXENT_MIN_ROWS):
         return nt_xent_pallas(z1, z2, temperature, valid)
     return nt_xent_loss(z1, z2, temperature, valid, axis_name=axis_name)
 from gnn_pretraining_tpu.ops.segment import (
