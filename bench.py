@@ -196,7 +196,11 @@ def main() -> None:
             import traceback
 
             traceback.print_exc()
-            print(f"# bench failed: {exc}", flush=True)
+            # Emit a JSON line (not a comment) so a keep-final-JSON-line
+            # harness records the failure instead of silently falling back
+            # to the previous, differently-named metric.
+            print(json.dumps({"bench": "failed", "error": str(exc)[:200]}),
+                  flush=True)
 
 
 if __name__ == "__main__":

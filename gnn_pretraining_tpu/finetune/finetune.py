@@ -572,6 +572,13 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
     ckpt_path = finetune_out_dir / f"model_{cfg.run_name}.msgpack"
     save_checkpoint(ckpt_path, state.params, state.batch_stats, 0, {})
 
+    # Per-cell throughput telemetry (real mask-valid edges per train step).
+    if cfg.task_type == "graph_classification":
+        ems = [np.asarray(b.edge_mask).sum() for b in data["train"].batches]
+        edges_per_step = float(np.sum(ems) / max(len(ems), 1))
+    else:
+        edges_per_step = float(np.asarray(data["train"].graph.edge_mask).sum())
+
     def run_eval_pass(split, epoch):
         batch_metrics = []
         all_y, all_p = [], []
@@ -613,6 +620,7 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
     sel_key = "val/auc" if cfg.task_type == "link_prediction" else "val/accuracy"
 
     epoch = 0
+    t_loop = time.time()
     for epoch in range(1, epochs + 1):
         for kind, payload in train_batches():
             step_start = time.time()
@@ -657,6 +665,7 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
             epochs_since_improvement += 1
         if epochs_since_improvement >= patience:
             break
+    loop_wall = time.time() - t_loop
 
     # Reload best and run the test pass (reference :415-433).
     best = load_checkpoint(ckpt_path)
@@ -665,7 +674,9 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
     test_bm, test_gauc = run_eval_pass("test", epoch)
     test_metrics = M.compute_test_metrics(
         test_bm, epoch, epochs_since_improvement, training_start,
-        total_params, trainable_params)
+        total_params, trainable_params,
+        train_steps=global_step, train_wall=loop_wall,
+        edges_per_step=edges_per_step)
     test_metrics.update(test_gauc)
     logger.log(test_metrics, step=global_step)
     from gnn_pretraining_tpu.utils.fidelity import fidelity_block

@@ -179,10 +179,24 @@ def compute_test_metrics(batch_metrics, epoch: int,
                          epochs_since_improvement: int,
                          training_start_time: float,
                          total_parameters: int,
-                         trainable_parameters: int) -> Dict[str, float]:
+                         trainable_parameters: int,
+                         train_steps: int | None = None,
+                         train_wall: float | None = None,
+                         edges_per_step: float | None = None
+                         ) -> Dict[str, float]:
+    """Reference columns (analysis/data_collection.py:85-113) plus per-cell
+    throughput telemetry: ``steps_per_sec`` is training steps over the
+    training-loop wall (including per-epoch validation — the real sweep
+    throughput), ``edges_per_sec`` scales it by real (mask-valid) edges
+    aggregated per training step."""
     m = aggregate_batch_metrics(batch_metrics, epoch, "test")
     m["test/convergence_epochs"] = epoch - epochs_since_improvement
     m["test/training_time"] = time.time() - training_start_time
     m["test/total_parameters"] = total_parameters
     m["test/trainable_parameters"] = trainable_parameters
+    if train_steps is not None and train_wall and train_wall > 0:
+        sps = train_steps / train_wall
+        m["test/steps_per_sec"] = sps
+        if edges_per_step is not None:
+            m["test/edges_per_sec"] = sps * edges_per_step
     return m

@@ -369,6 +369,15 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
         val_stack = _lp_stack(data["val"], "val")
         test_stack = _lp_stack(data["test"], "test")
 
+    # Edges aggregated per training step (real, mask-valid), for the
+    # per-cell edges_per_sec telemetry column: GC steps aggregate one padded
+    # batch; NC/LP steps encode the full domain graph.
+    if task == "graph_classification":
+        em = np.asarray(train_stack["edge_mask"])
+        edges_per_step = float(em.sum() / max(em.shape[0], 1))
+    else:
+        edges_per_step = float(np.asarray(g.edge_mask).sum())
+
     # Everything device-resident once; uploads complete before any compile.
     train_stack = jax.device_put(train_stack)
     val_stack = jax.device_put(val_stack)
@@ -509,6 +518,7 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
             if b < frontier and b not in keep:
                 del chunk_states[b]
 
+    t_pass1 = time.time()
     for chunk_start in range(0, epochs, E):
         t_chunk = time.time()
         state, logs = run_epochs(state, train_stack, val_stack, aux,
@@ -533,6 +543,7 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
         fetched = jax.device_get(prev_logs)
         per_step_wall = (time.time() - prev_t) / (E * max(steps_per_epoch, 1))
         process_chunk(prev_start, fetched, per_step_wall)
+    pass1_wall = time.time() - t_pass1
 
     # ---- pass 2: deterministic replay to the best epoch ------------------
     # Chunk-boundary states were kept on device during pass 1 (keys derive by
@@ -555,7 +566,9 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
     test_bm = batch_rows(test_logs, "test")
     test_metrics = M.compute_test_metrics(
         test_bm, stop_epoch if stopped else epoch, esi, training_start,
-        total_params, trainable_params)
+        total_params, trainable_params,
+        train_steps=global_step, train_wall=pass1_wall,
+        edges_per_step=edges_per_step)
     ty = np.concatenate([np.asarray(test_logs[1])[j][np.asarray(test_logs[4])[j] > 0]
                          for j in range(len(test_bm))])
     tp = np.concatenate([np.asarray(test_logs[3])[j][np.asarray(test_logs[4])[j] > 0]

@@ -41,14 +41,34 @@ def fail_fast_backend_init(timeout_s: int = 240):
 SWEEP_PIDFILE = Path("/tmp/gnn_sweep.pid")
 
 
+def _proc_stat(pid: int) -> tuple[str, int] | None:
+    """(state, starttime) from /proc/<pid>/stat, or None if the process is
+    gone. comm (field 2) may contain spaces, so split after the last ')'."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            raw = f.read()
+    except OSError:
+        return None
+    after_comm = raw.rsplit(")", 1)[-1].split()
+    # after_comm[0] = state (field 3), after_comm[19] = starttime (field 22)
+    try:
+        return after_comm[0], int(after_comm[19])
+    except (IndexError, ValueError):
+        return None
+
+
 def write_pidfile(path: Path = SWEEP_PIDFILE) -> None:
-    """Record this process's PID so chip-exclusive harness jobs (bench.py,
+    """Record this process's PID (+ kernel start time, so a recycled PID is
+    never mistaken for the sweep) so chip-exclusive harness jobs (bench.py,
     chip_check.py) can reclaim the TPU from a long-running sweep. The sweep
     drivers call this at startup and remove the file at exit; see
-    ``reclaim_chip``."""
+    ``reclaim_chip``. atexit does not run on SIGKILL/external SIGTERM, hence
+    the start-time identity check on the reclaim side."""
     import atexit
 
-    path.write_text(str(os.getpid()))
+    stat = _proc_stat(os.getpid())
+    start = stat[1] if stat else 0
+    path.write_text(f"{os.getpid()} {start}")
     atexit.register(lambda: path.unlink(missing_ok=True))
 
 
@@ -67,10 +87,41 @@ def reclaim_chip(path: Path = SWEEP_PIDFILE, wait_s: float = 30.0) -> bool:
     if not path.exists():
         return False
     try:
-        pid = int(path.read_text().strip())
-    except ValueError:
+        fields = path.read_text().split()
+        pid = int(fields[0])
+        recorded_start = int(fields[1]) if len(fields) > 1 else None
+    except (ValueError, IndexError):
         path.unlink(missing_ok=True)
         return False
+
+    # Identity check: atexit cleanup is skipped on SIGKILL/OOM-kill, so the
+    # file can outlive the sweep and the PID can be recycled by an unrelated
+    # process. Require the kernel start time to match (new-format files), or
+    # at least a python cmdline (legacy single-int files); on mismatch the
+    # file is stale — unlink, never signal.
+    stat = _proc_stat(pid)
+    if stat is None:
+        path.unlink(missing_ok=True)
+        return False
+    if recorded_start is not None:
+        if stat[1] != recorded_start:
+            path.unlink(missing_ok=True)
+            return False
+    else:
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmdline = f.read()
+        except OSError:
+            cmdline = b""
+        if b"python" not in cmdline:
+            path.unlink(missing_ok=True)
+            return False
+
+    def _exited(p: int) -> bool:
+        """Gone, or a zombie (chip already released, just unreaped)."""
+        s = _proc_stat(p)
+        return s is None or s[0] == "Z"
+
     try:
         os.kill(pid, signal.SIGTERM)
     except ProcessLookupError:
@@ -78,9 +129,7 @@ def reclaim_chip(path: Path = SWEEP_PIDFILE, wait_s: float = 30.0) -> bool:
         return False
     deadline = time.monotonic() + wait_s
     while time.monotonic() < deadline:
-        try:
-            os.kill(pid, 0)
-        except ProcessLookupError:
+        if _exited(pid):
             break
         time.sleep(0.5)
     else:

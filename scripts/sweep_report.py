@@ -67,27 +67,47 @@ def main():
             "mean_cell_s": round(sum(s for _, s in runs) / max(len(runs), 1), 1),
             "max_cell": max(runs, key=lambda kv: kv[1]) if runs else None,
         }
-    ref_total = REF["pretrain_hours"] + REF["finetune_hours"]
+    # Apples-to-apples: scale the reference's hours by the fraction of the
+    # grid these logs actually completed, per phase (VERDICT r2 weak #3 —
+    # dividing the FULL reference grid by a partial-resume wall produced a
+    # bogus 118x). A partial log yields a partial-grid speedup, clearly
+    # labelled as such.
     got_total = out["pretrain"]["wall_hours"] + out["finetune"]["wall_hours"]
+    scaled_ref = 0.0
+    for phase in ("pretrain", "finetune"):
+        o = out[phase]
+        frac = o["cells_completed"] / REF[f"{phase}_runs"]
+        o["reference_hours_scaled"] = round(REF[f"{phase}_hours"] * frac, 3)
+        scaled_ref += o["reference_hours_scaled"]
+        if o["wall_hours"] > 0:
+            o["speedup_vs_reference"] = round(
+                o["reference_hours_scaled"] / o["wall_hours"], 1)
     out["total_wall_hours"] = round(got_total, 3)
-    out["reference_total_hours"] = ref_total
+    out["reference_total_hours"] = REF["pretrain_hours"] + REF["finetune_hours"]
+    out["reference_hours_scaled_to_completed_cells"] = round(scaled_ref, 3)
+    out["grid_complete"] = (
+        out["pretrain"]["cells_completed"] >= REF["pretrain_runs"]
+        and out["finetune"]["cells_completed"] >= REF["finetune_runs"])
     if got_total > 0:
-        out["speedup_vs_reference"] = round(ref_total / got_total, 1)
+        out["speedup_vs_reference"] = round(scaled_ref / got_total, 1)
     res_dir = Path("analysis/results")
     res_dir.mkdir(parents=True, exist_ok=True)
     (res_dir / "sweep_wallclock.json").write_text(json.dumps(out, indent=2))
     print(json.dumps(out, indent=2))
 
-    md = ["| Phase | Runs | TPU v5e wall | Reference (L4) | Speedup |",
+    scope = ("full grid" if out["grid_complete"]
+             else "reference hours scaled to the cells completed here")
+    md = [f"Scope: {scope}.", "",
+          "| Phase | Runs | TPU v5e wall | Reference (L4, scaled) | Speedup |",
           "|---|---|---|---|---|"]
     for phase in ("pretrain", "finetune"):
         o = out[phase]
-        rh = REF[f"{phase}_hours"]
-        sp = (f"{rh / o['wall_hours']:.1f}x" if o["wall_hours"] else "-")
+        sp = (f"{o.get('speedup_vs_reference', 0):.1f}x"
+              if o["wall_hours"] else "-")
         md.append(f"| {phase} | {o['cells_completed']}/"
                   f"{REF[f'{phase}_runs']} | {o['wall_hours']:.2f} h | "
-                  f"~{rh:.0f} h | {sp} |")
-    md.append(f"| **total** | | **{got_total:.2f} h** | ~{ref_total:.0f} h | "
+                  f"~{o['reference_hours_scaled']:.1f} h | {sp} |")
+    md.append(f"| **total** | | **{got_total:.2f} h** | ~{scaled_ref:.1f} h | "
               f"**{out.get('speedup_vs_reference', '-')}x** |")
     (res_dir / "sweep_wallclock.md").write_text("\n".join(md) + "\n")
     print("\n".join(md))

@@ -126,6 +126,19 @@ class TestSweepReport:
         # rerun cell keeps the phase-2 timing
         assert out["finetune"]["max_cell"] == ["ENZYMES_full_finetune_b1_42", 80]
         assert dict([out["pretrain"]["max_cell"]])["b2_42"] == 600
+        # Speedup compares against reference hours SCALED to the cells these
+        # logs completed (2/24 pretrain, 2/324 finetune), never the full grid
+        # (VERDICT r2 weak #3).
+        np.testing.assert_allclose(out["pretrain"]["reference_hours_scaled"],
+                                   round(17.0 * 2 / 24, 3))
+        np.testing.assert_allclose(out["finetune"]["reference_hours_scaled"],
+                                   round(24.0 * 2 / 324, 3))
+        assert not out["grid_complete"]
+        scaled = (out["pretrain"]["reference_hours_scaled"]
+                  + out["finetune"]["reference_hours_scaled"])
+        np.testing.assert_allclose(
+            out["speedup_vs_reference"],
+            round(scaled / out["total_wall_hours"], 1))
 
 
 parity = _load("pr", ROOT / "scripts" / "parity_report.py")

@@ -36,7 +36,7 @@ def test_fused_run_deterministic(processed_dir, domain, epochs):
     r1, _, _ = _run(processed_dir, domain, epochs)
     r2, _, _ = _run(processed_dir, domain, epochs)
     for k, v in r1.items():
-        if isinstance(v, float) and "time" not in k:
+        if isinstance(v, float) and "time" not in k and "_per_sec" not in k:
             np.testing.assert_allclose(r2[k], v, rtol=1e-6, err_msg=k)
 
 
@@ -77,7 +77,7 @@ def test_chunk_boundary_invariance(processed_dir):
                                 chunk_epochs=ce))
     r2, r32 = results
     for k, v in r32.items():
-        if isinstance(v, float) and "time" not in k:
+        if isinstance(v, float) and "time" not in k and "_per_sec" not in k:
             np.testing.assert_allclose(r2[k], v, rtol=1e-5, err_msg=k)
 
 

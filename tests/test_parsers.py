@@ -105,3 +105,97 @@ class TestPlanetoidParser:
         ei = out["edge_index"]
         assert ei.shape[1] == 10  # 5 undirected pairs x 2 directions
         assert (ei[0] != ei[1]).all()
+
+
+# ---------------------------------------------------------------------------
+# Checked-in golden fixtures (authentic raw byte formats)
+# ---------------------------------------------------------------------------
+# tests/fixtures/{tu_raw,planetoid_raw} hold tiny datasets in the exact
+# public TU Dortmund / Planetoid on-disk layouts (see
+# tests/fixtures/make_raw_fixtures.py). These tests run the production
+# raw path — parse_* AND the full preprocessing in data/setup.py — against
+# precomputed goldens, proving the real-data branch is live code in this
+# zero-egress container (reference: src/data/data_setup.py:75-165).
+
+FIXTURES = pathlib.Path(__file__).resolve().parent / "fixtures"
+
+
+class TestGoldenTU:
+    def test_parse_golden(self):
+        x, ei, noff, eoff, y = parse_tu_dataset(FIXTURES / "tu_raw", "ENZYMES")
+        assert x.shape == (122, 5)  # 2 attrs + 3 one-hot node labels
+        assert noff[-1] == 122 and len(noff) == 31
+        np.testing.assert_array_equal(np.unique(y), [0, 1])  # {2,5} -> {0,1}
+        # graph 0 (5-ring + chord 0-2): the deliberate self-loop is dropped
+        np.testing.assert_array_equal(
+            ei[:, eoff[0]:eoff[1]],
+            [[0, 0, 0, 1, 1, 2, 2, 2, 3, 3, 4, 4],
+             [1, 2, 4, 0, 2, 0, 1, 3, 2, 4, 0, 3]])
+        # graph 1 (4-ring + chord): the deliberate duplicate edge coalesces
+        assert eoff[2] - eoff[1] == 10
+
+    def test_process_golden_splits_and_properties(self):
+        from gnn_pretraining_tpu.data.setup import process_tu_dataset
+
+        store = process_tu_dataset("ENZYMES", FIXTURES / "tu_raw")
+        assert store.meta["source"] == "raw"
+        # stratified 80/10/10, RANDOM_SEED=42 (reference :84-110)
+        np.testing.assert_array_equal(
+            sorted(store.splits["val"].tolist()), [6, 15, 29])
+        np.testing.assert_array_equal(
+            sorted(store.splits["test"].tolist()), [5, 12, 24])
+        assert len(store.splits["train"]) == 24
+        # ENZYMES is continuous: StandardScaler on train rows, clip to ±3
+        assert store.node_features.min() >= -3.0
+        assert store.node_features.max() <= 3.0
+        # graph properties standardized over the train split (ddof=0)
+        props = store.graph_properties
+        assert props.shape == (30, 12)
+        np.testing.assert_allclose(props[store.splits["train"]].mean(0),
+                                   0.0, atol=1e-5)
+        np.testing.assert_allclose(
+            props[0],
+            [1.351691, 1.194792, -1.416671, 0.610796, 0.803358, 0.845154,
+             -1.510438, -1.444856, 0.0, 0.845154, -0.150188, 0.542266],
+            atol=1e-4)
+
+
+class TestGoldenPlanetoid:
+    def test_parse_golden(self):
+        d = parse_planetoid(FIXTURES / "planetoid_raw", "Cora")
+        assert d["x"].shape == (21, 4)
+        assert d["edge_index"].shape[1] == 54
+        np.testing.assert_array_equal(np.where(d["train_mask"])[0],
+                                      np.arange(6))
+        # test.index is shuffled AND has a gap at 17 (CiteSeer-style)
+        np.testing.assert_array_equal(np.where(d["test_mask"])[0],
+                                      [15, 16, 18, 19, 20])
+        # the gap node: isolated, all-zero features, excluded from test
+        assert d["x"][17].sum() == 0.0
+        assert (d["edge_index"] != 17).all()
+        # the deliberate self-loop in the graph dict is dropped
+        assert (d["edge_index"][0] != d["edge_index"][1]).all()
+
+    def test_process_golden_lp_splits(self):
+        """The 80/10/10 LP edge split must replay the torch.randperm(seed=42)
+        stream bit-exactly (reference :126-149)."""
+        from gnn_pretraining_tpu.data.setup import process_planetoid_dataset
+
+        stores = process_planetoid_dataset("Cora", FIXTURES / "planetoid_raw")
+        lp = stores["Cora_LP"].splits
+        assert lp["train_pos"].shape == (2, 44)
+        np.testing.assert_array_equal(
+            lp["val_pos"], [[2, 10, 13, 18, 11], [3, 1, 3, 16, 19]])
+        np.testing.assert_array_equal(
+            lp["test_pos"], [[9, 1, 7, 12, 18], [13, 7, 18, 4, 13]])
+        np.testing.assert_array_equal(
+            lp["val_neg"], [[1, 9, 1, 4, 15], [16, 18, 14, 1, 16]])
+        # negatives never collide with train positives (either direction)
+        train = {(int(u), int(v)) for u, v in lp["train_pos"].T}
+        for u, v in np.concatenate([lp["val_neg"], lp["test_neg"]], 1).T:
+            assert (int(u), int(v)) not in train
+            assert (int(v), int(u)) not in train
+        # NC store keeps the public masks; features row-normalized
+        nc = stores["Cora_NC"]
+        rs = nc.node_features.sum(1)
+        assert (rs <= 1.0 + 1e-5).all()
