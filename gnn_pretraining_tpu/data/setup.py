@@ -75,13 +75,15 @@ def _compute_properties(edge_index: np.ndarray, node_offsets: np.ndarray,
 
 
 def process_tu_dataset(name: str, raw_dir: Path, synthetic_scale: float = 1.0,
-                       synthetic_seed: int = 0) -> GraphStore:
+                       synthetic_seed: int = 0,
+                       synthetic_homophily: float = 0.0) -> GraphStore:
     try:
         x, ei, n_off, e_off, y = parse_tu_dataset(raw_dir, name)
         source = "raw"
     except FileNotFoundError:
         x, ei, n_off, e_off, y = synthetic.generate_tu_dataset(
-            name, seed=synthetic_seed, scale=synthetic_scale)
+            name, seed=synthetic_seed, scale=synthetic_scale,
+            homophily=synthetic_homophily)
         source = "synthetic"
 
     num_graphs = len(n_off) - 1
@@ -210,14 +212,16 @@ def process_planetoid_dataset(name: str, raw_dir: Path, synthetic_scale: float =
 
 
 def main(processed_dir: Optional[Path] = None, raw_dir: Optional[Path] = None,
-         synthetic_scale: float = 1.0, synthetic_seed: int = 0) -> None:
+         synthetic_scale: float = 1.0, synthetic_seed: int = 0,
+         synthetic_homophily: float = 0.0) -> None:
     processed_dir = Path(processed_dir or config.PROCESSED_DIR)
     raw_dir = Path(raw_dir or config.RAW_DIR)
     processed_dir.mkdir(parents=True, exist_ok=True)
 
     print("Processing TU datasets...")
     for name in config.TUDATASETS:
-        store = process_tu_dataset(name, raw_dir, synthetic_scale, synthetic_seed)
+        store = process_tu_dataset(name, raw_dir, synthetic_scale,
+                                   synthetic_seed, synthetic_homophily)
         store.save(processed_dir / f"{name}.npz")
 
     print("Processing Planetoid datasets...")
@@ -235,5 +239,9 @@ if __name__ == "__main__":
     p.add_argument("--raw_dir", type=str, default=None)
     p.add_argument("--synthetic_scale", type=float, default=1.0)
     p.add_argument("--synthetic_seed", type=int, default=0)
+    p.add_argument("--synthetic_homophily", type=float, default=0.0,
+                   help="smooth synthetic TU node features over edges so they "
+                        "are neighbor-predictable (NFM probe calibration)")
     a = p.parse_args()
-    main(a.processed_dir, a.raw_dir, a.synthetic_scale, a.synthetic_seed)
+    main(a.processed_dir, a.raw_dir, a.synthetic_scale, a.synthetic_seed,
+         a.synthetic_homophily)

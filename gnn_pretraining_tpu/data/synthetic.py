@@ -103,11 +103,35 @@ def _random_connected_graph(rng: np.random.Generator, n: int, avg_degree: float)
     return np.concatenate([und, und[::-1]], axis=1)
 
 
-def generate_tu_dataset(name: str, seed: int = 0, scale: float = 1.0):
+def _smooth_features(feats: np.ndarray, ei: np.ndarray, n: int,
+                     homophily: float, rounds: int = 2) -> np.ndarray:
+    """Mix each node's features with its neighbor mean: after ``rounds`` of
+    ``x ← (1−h)·x + h·mean_nbr(x)`` a node's features become predictable from
+    its neighborhood, as in real TU data (a node's chemical/structural type
+    correlates with its neighbors'). The default generator draws node
+    features iid given the graph label — adequate for classification
+    calibration but degenerate for *node feature masking*: the masked node's
+    identity carries no neighborhood signal, so NFM's only attainable target
+    is the batch mean (see analysis/results/nfm_probe.md)."""
+    deg = np.bincount(ei[1], minlength=n).astype(np.float32)
+    deg = np.maximum(deg, 1.0)[:, None]
+    x = feats.astype(np.float64)
+    for _ in range(rounds):
+        nbr_sum = np.zeros_like(x)
+        np.add.at(nbr_sum, ei[1], x[ei[0]])
+        x = (1.0 - homophily) * x + homophily * nbr_sum / deg
+    return x.astype(np.float32)
+
+
+def generate_tu_dataset(name: str, seed: int = 0, scale: float = 1.0,
+                        homophily: float = 0.0):
     """Generate a TU-like dataset.
 
     Returns (node_features, edge_index(local, [2, sumE]), node_offsets,
     edge_offsets, graph_labels) — the ``parsers.parse_tu_dataset`` contract.
+    ``homophily > 0`` smooths node features over the graph so they are
+    neighbor-predictable (an alternative calibration for probing
+    NFM-transfer sensitivity to the stand-in data).
     """
     spec = TU_SPECS[name]
     rng = np.random.default_rng(seed + zlib.crc32(name.encode()))
@@ -142,6 +166,8 @@ def generate_tu_dataset(name: str, seed: int = 0, scale: float = 1.0):
         if num_cont > 0:
             feats[:, :num_cont] = (class_means[y, :num_cont]
                                    + rng.normal(size=(n, num_cont))).astype(np.float32)
+        if homophily > 0.0:
+            feats = _smooth_features(feats, ei, n, homophily)
 
         xs.append(feats)
         eis.append(ei)
