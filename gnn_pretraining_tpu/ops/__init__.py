@@ -13,6 +13,12 @@ from gnn_pretraining_tpu.ops.spmm import (
     gin_aggregate,
     spmm_pallas,
 )
+from gnn_pretraining_tpu.ops.spmm_csr import (
+    BlockCSR,
+    build_block_csr,
+    gin_aggregate_csr,
+    spmm_csr,
+)
 from gnn_pretraining_tpu.ops.sddmm import (
     cosine_similarity_matrix,
     nt_xent_loss,

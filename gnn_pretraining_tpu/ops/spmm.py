@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -244,11 +246,36 @@ def gin_aggregate(h: jnp.ndarray, eps: jnp.ndarray, *,
                   senders: jnp.ndarray | None = None,
                   receivers: jnp.ndarray | None = None,
                   edge_mask: jnp.ndarray | None = None,
+                  bsr=None,
                   impl: str = "pallas") -> jnp.ndarray:
-    """Dispatch between the aggregation implementations."""
+    """Dispatch between the aggregation implementations.
+
+    Size dispatch: the dense-adjacency paths (``dense``/``pallas``) carry
+    O(N²) HBM traffic — right for this workload's ≤3.3k-node graphs, wrong
+    beyond ~8k nodes. For large graphs build a ``BlockCSR`` once per graph
+    (host-side, ops/spmm_csr.build_block_csr) and pass it here (or pass
+    ``impl="csr"``): O(nnzb·tile) traffic, still MXU tiles. ``coo`` is the
+    XLA segment_sum fallback for structure with no tile locality.
+    """
     if impl == "coo":
         return gin_aggregate_coo(h, senders, receivers, edge_mask, eps)
+    if bsr is not None or impl == "csr":
+        from gnn_pretraining_tpu.ops.spmm_csr import (
+            build_block_csr,
+            gin_aggregate_csr,
+        )
+
+        if bsr is None:
+            bsr = build_block_csr(np.asarray(senders), np.asarray(receivers),
+                                  np.asarray(edge_mask), h.shape[0])
+        return gin_aggregate_csr(h, bsr, eps)
     if adj is None:
+        if h.shape[0] > 8192:
+            raise ValueError(
+                f"dense adjacency for {h.shape[0]} nodes would be "
+                f"{h.shape[0]**2 * 2 / 2**20:.0f} MB; build a BlockCSR "
+                "(ops/spmm_csr.build_block_csr) and pass bsr=, or use "
+                "impl='coo'")
         adj = build_dense_adjacency(senders, receivers, edge_mask, h.shape[0])
     if impl == "dense":
         return gin_aggregate_dense(h, adj, eps)
