@@ -142,6 +142,75 @@ def main():
 
     check("ntxent fused fwd+bwd parity", ntxent_parity)
 
+    # -- 2b. fused NT-Xent at the large regime -------------------------------
+    def ntxent_large():
+        """n=8192 is the size whose VMEM OOM was VERDICT r2 weak #1; the
+        retiled (flash-softmax) kernel must compile AND match on chip."""
+        from gnn_pretraining_tpu.ops.ntxent_pallas import nt_xent_pallas
+        from gnn_pretraining_tpu.ops.sddmm import nt_xent_loss
+
+        rng = np.random.default_rng(7)
+        rows, d = 8192, 128
+        z1 = jnp.asarray(rng.normal(size=(rows, d)), jnp.float32)
+        z2 = jnp.asarray(rng.normal(size=(rows, d)), jnp.float32)
+        valid = jnp.asarray((rng.random(rows) < 0.9).astype(np.float32))
+        temp = jnp.float32(0.3)
+
+        def scalar(fn):
+            def inner(a, b):
+                s, nrows = fn(a, b, temp, valid)
+                return s / jnp.maximum(nrows, 1.0)
+
+            return jax.jit(jax.value_and_grad(inner, argnums=(0, 1)))
+
+        ref_l, (rg1, rg2) = jax.device_get(scalar(nt_xent_loss)(z1, z2))
+        got_l, (gg1, gg2) = jax.device_get(scalar(nt_xent_pallas)(z1, z2))
+        np.testing.assert_allclose(got_l, ref_l, rtol=1e-4)
+        np.testing.assert_allclose(gg1, rg1, rtol=2e-3, atol=1e-5)
+        np.testing.assert_allclose(gg2, rg2, rtol=2e-3, atol=1e-5)
+
+    check("ntxent fused n=8192 (retiled) parity", ntxent_large)
+
+    # -- 2c. block-CSR sparse SpMM ------------------------------------------
+    def spmm_csr_parity():
+        from gnn_pretraining_tpu.ops.spmm import gin_aggregate_coo
+        from gnn_pretraining_tpu.ops.spmm_csr import (
+            build_block_csr,
+            gin_aggregate_csr,
+        )
+
+        rng = np.random.default_rng(8)
+        n, e, band = 16384, 16384 * 8, 512
+        senders = rng.integers(0, n, e).astype(np.int32)
+        delta = rng.geometric(4.0 / band, e) * rng.choice([-1, 1], e)
+        receivers = np.clip(senders + delta, 0, n - 1).astype(np.int32)
+        mask = np.ones(e, np.float32)
+        h = jnp.asarray(rng.normal(size=(n, 256)), jnp.float32)
+        eps = jnp.float32(0.13)
+        s_d, r_d, m_d = map(jnp.asarray, (senders, receivers, mask))
+
+        def f_coo(x):
+            return jnp.mean(gin_aggregate_coo(x, s_d, r_d, m_d, eps) ** 2)
+
+        ref_l, ref_g = jax.device_get(
+            jax.jit(jax.value_and_grad(f_coo))(h))
+        for mode, rtol in (("highest", 1e-4), ("split", 1e-3)):
+            bsr = build_block_csr(
+                senders, receivers, mask, n,
+                dtype=np.float32 if mode == "highest" else np.bfloat16)
+
+            def f_csr(x, bsr=bsr, mode=mode):
+                return jnp.mean(gin_aggregate_csr(x, bsr, eps, mode) ** 2)
+
+            got_l, got_g = jax.device_get(
+                jax.jit(jax.value_and_grad(f_csr))(h))
+            np.testing.assert_allclose(got_l, ref_l, rtol=rtol,
+                                       err_msg=f"csr {mode} loss")
+            np.testing.assert_allclose(got_g, ref_g, rtol=rtol, atol=1e-4,
+                                       err_msg=f"csr {mode} grad")
+
+    check("block-CSR SpMM n=16384 parity (highest+split)", spmm_csr_parity)
+
     # -- 3. exact top-k ----------------------------------------------------
     def topk_parity():
         from gnn_pretraining_tpu.ops.topk import exact_top_k
