@@ -153,7 +153,7 @@ def _spmm_csr_bench(jax, jnp, n, avg_deg, f, band):
     h = jnp.asarray(rng.normal(size=(n, f)), jnp.float32)
     eps = jnp.float32(0.1)
     bsr = build_block_csr(senders, receivers, edge_mask, n,
-                          dtype=np.bfloat16)
+                          dtype=jnp.bfloat16)
     s_d = jnp.asarray(senders)
     r_d = jnp.asarray(receivers)
     m_d = jnp.asarray(edge_mask)

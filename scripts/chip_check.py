@@ -197,7 +197,7 @@ def main():
         for mode, rtol in (("highest", 1e-4), ("split", 1e-3)):
             bsr = build_block_csr(
                 senders, receivers, mask, n,
-                dtype=np.float32 if mode == "highest" else np.bfloat16)
+                dtype=np.float32 if mode == "highest" else jnp.bfloat16)
 
             def f_csr(x, bsr=bsr, mode=mode):
                 return jnp.mean(gin_aggregate_csr(x, bsr, eps, mode) ** 2)

@@ -28,7 +28,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def scan(sizes, feat, degree):
+def scan(sizes, feat, degree, band=0):
     import jax
     import jax.numpy as jnp
 
@@ -39,25 +39,38 @@ def scan(sizes, feat, degree):
     )
     from gnn_pretraining_tpu.utils.profiling import slope_time
 
+    from gnn_pretraining_tpu.ops.spmm_csr import (
+        build_block_csr,
+        gin_aggregate_csr,
+    )
+
     eps = jnp.float32(0.1)
     rows = []
     for n in sizes:
         e = int(degree * n)
         rng = np.random.default_rng(n)
-        senders = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
-        receivers = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+        senders_np = rng.integers(0, n, e).astype(np.int32)
+        if band:
+            delta = rng.geometric(4.0 / band, e) * rng.choice([-1, 1], e)
+            receivers_np = np.clip(senders_np + delta, 0, n - 1).astype(np.int32)
+        else:
+            receivers_np = rng.integers(0, n, e).astype(np.int32)
+        senders = jnp.asarray(senders_np)
+        receivers = jnp.asarray(receivers_np)
         edge_mask = jnp.ones(e, jnp.float32)
         h = jnp.asarray(rng.normal(size=(n, feat)).astype(np.float32))
-        adj = build_dense_adjacency(senders, receivers, edge_mask, n)
-
-        def fwd_bwd_dense(x):
-            out, vjp = jax.vjp(lambda hh: spmm_pallas(adj, hh, eps), x)
-            return vjp(out)[0]
+        bsr = build_block_csr(senders_np, receivers_np,
+                              np.ones(e, np.float32), n, dtype=jnp.bfloat16)
 
         def fwd_bwd_coo(x):
             out, vjp = jax.vjp(
                 lambda hh: gin_aggregate_coo(hh, senders, receivers,
                                              edge_mask, eps), x)
+            return vjp(out)[0]
+
+        def fwd_bwd_csr(x):
+            out, vjp = jax.vjp(
+                lambda hh: gin_aggregate_csr(hh, bsr, eps, "split"), x)
             return vjp(out)[0]
 
         def timed(fn):
@@ -67,17 +80,30 @@ def scan(sizes, feat, degree):
                 return lambda: stepped(h, iters)
             return slope_time(run)
 
-        t_dense, t_coo = timed(fwd_bwd_dense), timed(fwd_bwd_coo)
-        row = {
-            "n": n, "e": e, "feat": feat,
-            "dense_edges_per_s": round(e / t_dense, 1),
-            "coo_edges_per_s": round(e / t_coo, 1),
-            "dense_over_coo": round(t_coo / t_dense, 3),
-        }
+        row = {"n": n, "e": e, "feat": feat, "nnzb": bsr.nnzb,
+               "band": band or 0}
+        # dense only in its design regime — a 32768^2 f32 adjacency is 4 GB
+        if n <= 8192:
+            adj = build_dense_adjacency(senders, receivers, edge_mask, n)
+
+            def fwd_bwd_dense(x):
+                out, vjp = jax.vjp(lambda hh: spmm_pallas(adj, hh, eps), x)
+                return vjp(out)[0]
+
+            t_dense = timed(fwd_bwd_dense)
+            row["dense_edges_per_s"] = round(e / t_dense, 1)
+        t_coo, t_csr = timed(fwd_bwd_coo), timed(fwd_bwd_csr)
+        row["coo_edges_per_s"] = round(e / t_coo, 1)
+        row["csr_edges_per_s"] = round(e / t_csr, 1)
+        row["csr_over_coo"] = round(t_coo / t_csr, 3)
+        if "dense_edges_per_s" in row:
+            row["dense_over_coo"] = round(t_coo * row["dense_edges_per_s"] / e,
+                                          3)
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    cross = next((r["n"] for r in rows if r["dense_over_coo"] < 1.0), None)
+    cross = next((r["n"] for r in rows
+                  if r.get("dense_over_coo", 9e9) < 1.0), None)
     print(json.dumps({"crossover_n": cross,
                       "note": ("dense wins at every scanned size"
                                if cross is None else
@@ -91,8 +117,12 @@ def main():
     p.add_argument("--degree", type=float, default=3.9)
     p.add_argument("--sizes", type=int, nargs="*",
                    default=[1024, 2048, 4096, 8192, 16384, 32768])
+    p.add_argument("--band", type=int, default=0,
+                   help="banded edges (|dst-src| ~ Geom, capped here): the "
+                        "locality regime where block-CSR tiles stay sparse; "
+                        "0 = uniform random (CSR degenerates toward dense)")
     args = p.parse_args()
-    scan(args.sizes, args.feat, args.degree)
+    scan(args.sizes, args.feat, args.degree, args.band)
 
 
 if __name__ == "__main__":
