@@ -179,9 +179,19 @@ def _prep(z1, z2, valid):
 
 
 def _tiles(rows: int, block_rows: int, block_cols: int):
-    r = min(block_rows, _round_up(rows, 8))
+    import math
+
+    # 128-align r once rows allow it so lcm(r, c) stays small (rows=200 with
+    # r=200, c=256 would pad to lcm=6400); below 128 rows r only needs the
+    # sublane multiple of 8.
+    r = min(block_rows,
+            _round_up(rows, 128) if rows >= 128 else _round_up(rows, 8))
     c = min(block_cols, _round_up(rows, 128))
-    rows_p = _round_up(rows, max(r, c))  # r, c are powers-of-two multiples
+    # The padded row count must be a multiple of BOTH tile sizes (the grid
+    # divides it by each); max() is not enough when r ∤ c (e.g. rows=48 →
+    # r=48, c=128: padding to 128 would leave 128//48=2 row tiles covering
+    # only 96 rows).
+    rows_p = _round_up(rows, math.lcm(r, c))
     return r, c, rows_p
 
 
