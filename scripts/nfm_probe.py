@@ -39,10 +39,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--scale", type=float, default=0.5)
+    p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--homophily", type=float, default=0.45)
     p.add_argument("--pretrain_epochs", type=int, default=15)
-    p.add_argument("--finetune_epochs", type=int, default=60)
+    p.add_argument("--finetune_epochs", type=int, default=0,
+                   help="0 = the production per-domain default")
     p.add_argument("--schemes", nargs="+", default=["b2", "b3"])
     p.add_argument("--domains", nargs="+", default=["Cora_NC", "CiteSeer_NC"])
     p.add_argument("--seed", type=int, default=42)
@@ -96,7 +97,8 @@ def main() -> None:
                                              seed=args.seed)
                 t = time.time()
                 res = finetune(fcfg, aggregation=args.aggregation,
-                               epochs=args.finetune_epochs, use_wandb=False,
+                               epochs=args.finetune_epochs or None,
+                               use_wandb=False,
                                processed_dir=processed, out_root=out_root)
                 acc = res["test/accuracy"]
                 results[f"{cal}/{domain}/{scheme}"] = acc
