@@ -250,3 +250,21 @@ spmm_csr.defvjp(_csr_fwd, _csr_bwd)
 def gin_aggregate_csr(h: jnp.ndarray, bsr: BlockCSR, eps: jnp.ndarray,
                       mode: str = "split") -> jnp.ndarray:
     return spmm_csr(bsr, h, mode, eps)
+
+
+def rcm_order(senders: np.ndarray, receivers: np.ndarray,
+              num_nodes: int) -> np.ndarray:
+    """Reverse Cuthill–McKee permutation: relabel nodes so edges concentrate
+    near the diagonal, which is exactly the locality that keeps the nonzero
+    tile count small. Returns ``perm`` with ``perm[new_id] = old_id``; apply
+    with ``inv = argsort(perm); senders2 = inv[senders]`` and permute the
+    feature rows the same way. Host-side, once per graph."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    a = sp.csr_matrix(
+        (np.ones(len(senders), np.float32),
+         (np.asarray(senders), np.asarray(receivers))),
+        shape=(num_nodes, num_nodes))
+    return np.asarray(reverse_cuthill_mckee(a, symmetric_mode=False),
+                      dtype=np.int64)
