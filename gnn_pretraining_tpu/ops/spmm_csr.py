@@ -268,3 +268,88 @@ def rcm_order(senders: np.ndarray, receivers: np.ndarray,
         shape=(num_nodes, num_nodes))
     return np.asarray(reverse_cuthill_mckee(a, symmetric_mode=False),
                       dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip: tile-partitioned aggregation
+# ---------------------------------------------------------------------------
+
+def shard_block_csr(bsr: BlockCSR, n_shards: int) -> BlockCSR:
+    """Repack a BlockCSR so its tiles split evenly over ``n_shards`` devices.
+
+    Real tiles are dealt round-robin into shards (balances row runs); each
+    shard additionally gets a zero pad tile for EVERY tile row (so its
+    kernel writes every output block, like the single-device builder), is
+    re-sorted by tile row, and is padded to the common per-shard length.
+    Each shard's kernel output is then ``A_s @ h + (1+eps) h`` — a valid
+    partial whose epilogue is replicated — and ``csr_aggregate_sharded``
+    combines them as ``psum(partial) − (n_shards − 1)·(1+eps)·h``.
+    """
+    import numpy as np_
+
+    n_pad = _round_up(bsr.num_nodes, max(bsr.bm, bsr.bk))
+    n_rows = n_pad // bsr.bm
+
+    vals = np_.asarray(bsr.vals)
+    rows = np_.asarray(bsr.rows)
+    cols = np_.asarray(bsr.cols)
+    # drop single-device pad tiles (all-zero); identified by zero values
+    real = np_.abs(vals).sum(axis=(1, 2)) > 0
+    shards = [[] for _ in range(n_shards)]
+    for i, t in enumerate(np_.nonzero(real)[0]):
+        shards[i % n_shards].append(int(t))
+
+    per = max((max(len(s) for s in shards) if any(shards) else 0) + n_rows, 1)
+    out_v, out_r, out_c = [], [], []
+    for s in shards:
+        r_s = np_.concatenate([rows[s], np_.arange(n_rows, dtype=np_.int32)])
+        c_s = np_.concatenate([cols[s], np_.zeros(n_rows, np_.int32)])
+        v_s = np_.concatenate([vals[s],
+                               np_.zeros((n_rows,) + vals.shape[1:],
+                                         vals.dtype)])
+        order = np_.argsort(r_s, kind="stable")
+        r_s, c_s, v_s = r_s[order], c_s[order], v_s[order]
+        extra = per - len(r_s)
+        if extra > 0:
+            r_s = np_.concatenate([r_s, np_.full(extra, r_s[-1], np_.int32)])
+            c_s = np_.concatenate([c_s, np_.zeros(extra, np_.int32)])
+            v_s = np_.concatenate([v_s, np_.zeros((extra,) + v_s.shape[1:],
+                                                  v_s.dtype)])
+        out_v.append(v_s)
+        out_r.append(r_s)
+        out_c.append(c_s)
+    return dataclasses.replace(
+        bsr, vals=jnp.asarray(np_.concatenate(out_v)),
+        rows=jnp.asarray(np_.concatenate(out_r)),
+        cols=jnp.asarray(np_.concatenate(out_c)))
+
+
+def csr_aggregate_sharded(mesh, bsr_sharded: BlockCSR, h: jnp.ndarray,
+                          eps, axis: str = "edge",
+                          mode: str = "split") -> jnp.ndarray:
+    """``A @ h + (1+eps) h`` with the adjacency tiles sharded over ``axis``:
+    each device runs the block-CSR kernel on its tile slice (every device
+    writes every output block — see shard_block_csr), partials are
+    psum-combined, and the replicated ``(1+eps) h`` epilogue is corrected to
+    count once. h is replicated; tile traffic is 1/n per device and rides
+    ICI only once per layer (one psum)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    eps_arr = jnp.asarray(eps, jnp.float32)
+
+    def local(vals, rows, cols, hh):
+        part = _csr_matvec(vals[0], rows[0], cols[0], hh, eps_arr,
+                           bm=bsr_sharded.bm, bk=bsr_sharded.bk,
+                           num_nodes=bsr_sharded.num_nodes, mode=mode)
+        total = jax.lax.psum(part, axis)
+        return total - (n_dev - 1) * (1.0 + eps_arr) * hh
+
+    per = bsr_sharded.vals.shape[0] // n_dev
+    vals = bsr_sharded.vals.reshape((n_dev, per) + bsr_sharded.vals.shape[1:])
+    rows = bsr_sharded.rows.reshape(n_dev, per)
+    cols = bsr_sharded.cols.reshape(n_dev, per)
+    return shard_map(local, mesh=mesh,
+                     in_specs=(P(axis), P(axis), P(axis), P()),
+                     out_specs=P(), check_vma=False)(vals, rows, cols, h)

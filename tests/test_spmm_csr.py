@@ -167,3 +167,27 @@ class TestRCMOrder:
         want = _ref(h, s, r, m, eps)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want)[perm],
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestShardedCSR:
+    def test_tile_partitioned_matches_single_device(self):
+        """Tiles sharded over the 8-device mesh: psum-combined partials must
+        equal the single-device aggregation (replicated-epilogue corrected)."""
+        from gnn_pretraining_tpu.ops.spmm_csr import (
+            csr_aggregate_sharded,
+            shard_block_csr,
+        )
+        from gnn_pretraining_tpu.parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        mesh = make_mesh(n_data=1, n_edge=n_dev)
+        s, r, m, h = _graph(10, 700, 2500, masked=100)
+        eps = jnp.float32(0.21)
+        bsr = build_block_csr(s, r, m, 700)
+        sharded = shard_block_csr(bsr, n_dev)
+        assert sharded.vals.shape[0] % n_dev == 0
+        got = csr_aggregate_sharded(mesh, sharded, jnp.asarray(h), eps,
+                                    axis="edge", mode="highest")
+        want = _ref(h, s, r, m, eps)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
