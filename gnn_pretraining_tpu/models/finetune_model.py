@@ -46,22 +46,22 @@ class FinetuneGNN(nn.Module):
             self.classification_head = MLPLinkPredictor()
 
     def embed(self, x, node_mask, train: bool, *, adj=None, senders=None,
-              receivers=None, edge_mask=None):
+              receivers=None, edge_mask=None, bsr=None):
         """Encoder + backbone; the message-passing edge set is whatever edge
         structure is passed in (reference: forward's message_passing_edges,
         finetune_model.py:70)."""
         h0 = self.input_encoder(x, node_mask, train)
         return self.gnn_backbone(h0, node_mask, train, adj=adj,
                                  senders=senders, receivers=receivers,
-                                 edge_mask=edge_mask)
+                                 edge_mask=edge_mask, bsr=bsr)
 
     def __call__(self, x, node_mask, train: bool, *, adj=None, senders=None,
-                 receivers=None, edge_mask=None, node_graph=None,
+                 receivers=None, edge_mask=None, bsr=None, node_graph=None,
                  graph_mask=None, num_graphs: Optional[int] = None,
                  score_senders=None, score_receivers=None,
                  return_logits: bool = False):
         h = self.embed(x, node_mask, train, adj=adj, senders=senders,
-                       receivers=receivers, edge_mask=edge_mask)
+                       receivers=receivers, edge_mask=edge_mask, bsr=bsr)
         task_type = config.TASK_TYPES[self.domain_name]
         if task_type == "graph_classification":
             graph_emb = segment_mean(h, node_graph, num_graphs, node_mask)

@@ -71,7 +71,11 @@ class InputEncoder(nn.Module):
 
 
 def _aggregate(h: jnp.ndarray, eps: jnp.ndarray, adj, senders, receivers,
-               edge_mask, impl: str, edge_axis=None) -> jnp.ndarray:
+               edge_mask, impl: str, edge_axis=None, bsr=None) -> jnp.ndarray:
+    if impl == "csr" or bsr is not None:
+        from gnn_pretraining_tpu.ops.spmm_csr import gin_aggregate_csr
+
+        return gin_aggregate_csr(h, bsr, eps)
     if impl == "coo" or adj is None:
         return gin_aggregate_coo(h, senders, receivers, edge_mask, eps,
                                  edge_axis=edge_axis)
@@ -83,18 +87,18 @@ def _aggregate(h: jnp.ndarray, eps: jnp.ndarray, adj, senders, receivers,
 class GINLayer(nn.Module):
     """GINConv + residual + BN + ReLU + Dropout (reference: gnn.py:26-43)."""
 
-    aggregation: str = "dense"   # "dense" | "pallas" | "coo"
+    aggregation: str = "dense"   # "dense" | "pallas" | "coo" | "csr"
     axis_name: Optional[str] = None
     edge_axis: Optional[str] = None  # mesh axis for edge-partitioned coo
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, node_mask, train: bool, *,
-                 adj=None, senders=None, receivers=None, edge_mask=None
-                 ) -> jnp.ndarray:
+                 adj=None, senders=None, receivers=None, edge_mask=None,
+                 bsr=None) -> jnp.ndarray:
         # PyG GINConv(train_eps=True) starts at eps=0.
         eps = self.param("eps", nn.initializers.zeros, ())
         z = _aggregate(h, eps, adj, senders, receivers, edge_mask,
-                       self.aggregation, self.edge_axis)
+                       self.aggregation, self.edge_axis, bsr=bsr)
         # The GIN MLP: 256 → 512 (+BN+ReLU) → 256.
         z = TorchLinear(2 * config.GNN_HIDDEN_DIM, name="mlp_0")(z)
         z = MaskedBatchNorm(2 * config.GNN_HIDDEN_DIM, name="mlp_bn",
@@ -125,13 +129,13 @@ class GINBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, node_mask, train: bool, *,
-                 adj=None, senders=None, receivers=None, edge_mask=None
-                 ) -> jnp.ndarray:
+                 adj=None, senders=None, receivers=None, edge_mask=None,
+                 bsr=None) -> jnp.ndarray:
         layer_cls = (nn.remat(GINLayer, static_argnums=(3,))
                      if self.remat else GINLayer)
         for i in range(config.GNN_NUM_LAYERS):
             h = layer_cls(self.aggregation, self.axis_name, self.edge_axis,
                           name=f"layers_{i}")(
                 h, node_mask, train, adj=adj, senders=senders,
-                receivers=receivers, edge_mask=edge_mask)
+                receivers=receivers, edge_mask=edge_mask, bsr=bsr)
         return h

@@ -75,17 +75,17 @@ class PretrainableGNN(nn.Module):
         return self.input_encoders[domain](x, node_mask, train)
 
     def run_backbone(self, h0, node_mask, train: bool, *, adj=None,
-                     senders=None, receivers=None, edge_mask=None):
+                     senders=None, receivers=None, edge_mask=None, bsr=None):
         return self.gnn_backbone(h0, node_mask, train, adj=adj,
                                  senders=senders, receivers=receivers,
-                                 edge_mask=edge_mask)
+                                 edge_mask=edge_mask, bsr=bsr)
 
     def __call__(self, x, node_mask, domain: str, train: bool, *, adj=None,
-                 senders=None, receivers=None, edge_mask=None):
+                 senders=None, receivers=None, edge_mask=None, bsr=None):
         h0 = self.encode(x, node_mask, domain, train)
         return self.run_backbone(h0, node_mask, train, adj=adj,
                                  senders=senders, receivers=receivers,
-                                 edge_mask=edge_mask)
+                                 edge_mask=edge_mask, bsr=bsr)
 
     def get_mask_token(self):
         return self.mask_token

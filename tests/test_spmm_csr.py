@@ -191,3 +191,37 @@ class TestShardedCSR:
         want = _ref(h, s, r, m, eps)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestModelCSR:
+    def test_finetune_model_csr_matches_coo(self):
+        """The full FinetuneGNN forward with aggregation='csr' (BlockCSR
+        passed through embed/backbone) equals the COO forward."""
+        import jax
+
+        from gnn_pretraining_tpu.models.finetune_model import FinetuneGNN
+
+        rng = np.random.default_rng(11)
+        n, e, d = 260, 800, 1433
+        s = rng.integers(0, n, e).astype(np.int32)
+        r = rng.integers(0, n, e).astype(np.int32)
+        m = np.ones(e, np.float32)
+        x = rng.normal(size=(n, d)).astype(np.float32)
+        mask = np.ones(n, np.float32)
+        bsr = build_block_csr(s, r, m, n)
+
+        coo_model = FinetuneGNN(domain_name="Cora_NC", aggregation="coo")
+        csr_model = FinetuneGNN(domain_name="Cora_NC", aggregation="csr")
+        variables = coo_model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jnp.asarray(x), jnp.asarray(mask), False,
+            senders=jnp.asarray(s), receivers=jnp.asarray(r),
+            edge_mask=jnp.asarray(m))
+        want = coo_model.apply(variables, jnp.asarray(x), jnp.asarray(mask),
+                               False, senders=jnp.asarray(s),
+                               receivers=jnp.asarray(r),
+                               edge_mask=jnp.asarray(m))
+        got = csr_model.apply(variables, jnp.asarray(x), jnp.asarray(mask),
+                              False, bsr=bsr)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)
