@@ -141,14 +141,13 @@ def _spmm_csr_bench(jax, jnp, n, avg_deg, f, band):
     from gnn_pretraining_tpu.ops.spmm_csr import (
         build_block_csr,
         gin_aggregate_csr,
+        synthetic_banded_edges,
     )
     from gnn_pretraining_tpu.utils.profiling import slope_time
 
     rng = np.random.default_rng(3)
     e = n * avg_deg
-    senders = rng.integers(0, n, e).astype(np.int32)
-    delta = rng.geometric(4.0 / band, e) * rng.choice([-1, 1], e)
-    receivers = np.clip(senders + delta, 0, n - 1).astype(np.int32)
+    senders, receivers = synthetic_banded_edges(n, e, band, rng)
     edge_mask = np.ones(e, np.float32)
     h = jnp.asarray(rng.normal(size=(n, f)), jnp.float32)
     eps = jnp.float32(0.1)
@@ -167,20 +166,24 @@ def _spmm_csr_bench(jax, jnp, n, avg_deg, f, band):
 
         return body
 
+    # Operands are jit *arguments* (BlockCSR is a registered pytree), never
+    # closures — closed-over arrays ship with the executable to the remote
+    # compiler at ~50 MB/s (see CLAUDE.md).
     @partial(jax.jit, static_argnames=("iters",))
-    def run_csr(x, iters):
+    def run_csr(x, b, iters):
         body = loop(lambda xx: jnp.sum(
-            gin_aggregate_csr(xx, bsr, eps, mode="split") ** 2))
+            gin_aggregate_csr(xx, b, eps, mode="split") ** 2))
         return jnp.sum(jax.lax.fori_loop(0, iters, body, x))
 
     @partial(jax.jit, static_argnames=("iters",))
-    def run_coo(x, iters):
+    def run_coo(x, s, r, m, iters):
         body = loop(lambda xx: jnp.sum(
-            gin_aggregate_coo(xx, s_d, r_d, m_d, eps) ** 2))
+            gin_aggregate_coo(xx, s, r, m, eps) ** 2))
         return jnp.sum(jax.lax.fori_loop(0, iters, body, x))
 
-    t_csr = slope_time(lambda it: (lambda: run_csr(h, iters=it)))
-    t_coo = slope_time(lambda it: (lambda: run_coo(h, iters=it)))
+    t_csr = slope_time(lambda it: (lambda: run_csr(h, bsr, iters=it)))
+    t_coo = slope_time(lambda it: (lambda: run_coo(h, s_d, r_d, m_d,
+                                                   iters=it)))
     return {
         "metric": f"spmm_csr_fwd_bwd_edges_per_s_n{n}",
         "value": round(e / t_csr, 1),

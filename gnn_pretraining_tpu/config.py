@@ -100,6 +100,13 @@ FUSED_NTXENT = True
 # miner's 8192-row dispatch (finetune/mining.py).
 FUSED_NTXENT_MIN_ROWS = 8192
 
+# Above this many nodes ops/spmm.gin_aggregate refuses to materialize an
+# [N, N] dense adjacency (8192^2 bf16 = 128 MB is the last sane size) and
+# demands a BlockCSR (ops/spmm_csr) or COO instead. Net-new dispatch bound —
+# the reference's scatter-add path (PyG GINConv) never builds N^2 state —
+# tuned by scripts/crossover_scan.py on the v5e.
+DENSE_ADJACENCY_MAX_NODES = 8192
+
 # ---------------------------------------------------------------------------
 # Augmentations (reference: src/pretrain/augmentations.py:7-14)
 # ---------------------------------------------------------------------------

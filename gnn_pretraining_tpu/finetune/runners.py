@@ -519,6 +519,7 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
                 del chunk_states[b]
 
     t_pass1 = time.time()
+    fetched_epochs = 0  # epochs whose device work pass1_wall actually covers
     for chunk_start in range(0, epochs, E):
         t_chunk = time.time()
         state, logs = run_epochs(state, train_stack, val_stack, aux,
@@ -530,6 +531,7 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
             # device_get returns when chunk k is done; chunk k+1 keeps
             # computing while the host loop below runs.
             fetched = jax.device_get(prev_logs)
+            fetched_epochs += min(E, epochs - prev_start)
             per_step_wall = ((time.time() - prev_t)
                              / (E * max(steps_per_epoch, 1)))
             process_chunk(prev_start, fetched, per_step_wall)
@@ -541,6 +543,7 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
     if pending is not None and not stopped:
         prev_start, prev_logs, prev_t = pending
         fetched = jax.device_get(prev_logs)
+        fetched_epochs += min(E, epochs - prev_start)
         per_step_wall = (time.time() - prev_t) / (E * max(steps_per_epoch, 1))
         process_chunk(prev_start, fetched, per_step_wall)
     pass1_wall = time.time() - t_pass1
@@ -567,7 +570,10 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
     test_metrics = M.compute_test_metrics(
         test_bm, stop_epoch if stopped else epoch, esi, training_start,
         total_params, trainable_params,
-        train_steps=global_step, train_wall=pass1_wall,
+        # Throughput counts every epoch whose device work pass1_wall covers
+        # (whole fetched chunks), not just epochs up to the early stop —
+        # an early-stopped LP cell otherwise under-reports steps/s ~1.6x.
+        train_steps=fetched_epochs * steps_per_epoch, train_wall=pass1_wall,
         edges_per_step=edges_per_step)
     ty = np.concatenate([np.asarray(test_logs[1])[j][np.asarray(test_logs[4])[j] > 0]
                          for j in range(len(test_bm))])

@@ -75,6 +75,11 @@ def _aggregate(h: jnp.ndarray, eps: jnp.ndarray, adj, senders, receivers,
     if impl == "csr" or bsr is not None:
         from gnn_pretraining_tpu.ops.spmm_csr import gin_aggregate_csr
 
+        if bsr is None:
+            raise ValueError(
+                "aggregation='csr' requires a prebuilt BlockCSR passed as "
+                "bsr= (host-side, ops/spmm_csr.build_block_csr); the batch "
+                "drivers only feed adj/COO operands")
         return gin_aggregate_csr(h, bsr, eps)
     if impl == "coo" or adj is None:
         return gin_aggregate_coo(h, senders, receivers, edge_mask, eps,

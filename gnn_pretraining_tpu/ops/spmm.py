@@ -270,7 +270,9 @@ def gin_aggregate(h: jnp.ndarray, eps: jnp.ndarray, *,
                                   np.asarray(edge_mask), h.shape[0])
         return gin_aggregate_csr(h, bsr, eps)
     if adj is None:
-        if h.shape[0] > 8192:
+        from gnn_pretraining_tpu.config import DENSE_ADJACENCY_MAX_NODES
+
+        if h.shape[0] > DENSE_ADJACENCY_MAX_NODES:
             raise ValueError(
                 f"dense adjacency for {h.shape[0]} nodes would be "
                 f"{h.shape[0]**2 * 2 / 2**20:.0f} MB; build a BlockCSR "

@@ -252,6 +252,19 @@ def gin_aggregate_csr(h: jnp.ndarray, bsr: BlockCSR, eps: jnp.ndarray,
     return spmm_csr(bsr, h, mode, eps)
 
 
+def synthetic_banded_edges(n: int, e: int, band: int,
+                           rng: np.random.Generator
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """Synthetic edge list with banded locality (as after an RCM reorder):
+    receiver offsets are geometric with mean ≈ band/4 in either direction.
+    Shared by bench.py, scripts/chip_check.py and scripts/crossover_scan.py
+    so their numbers describe the same regime."""
+    senders = rng.integers(0, n, e).astype(np.int32)
+    delta = rng.geometric(4.0 / band, e) * rng.choice([-1, 1], e)
+    receivers = np.clip(senders + delta, 0, n - 1).astype(np.int32)
+    return senders, receivers
+
+
 def rcm_order(senders: np.ndarray, receivers: np.ndarray,
               num_nodes: int) -> np.ndarray:
     """Reverse Cuthill–McKee permutation: relabel nodes so edges concentrate

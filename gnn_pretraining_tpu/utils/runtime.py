@@ -108,11 +108,20 @@ def reclaim_chip(path: Path = SWEEP_PIDFILE, wait_s: float = 30.0) -> bool:
             path.unlink(missing_ok=True)
             return False
     else:
-        try:
-            with open(f"/proc/{pid}/cmdline", "rb") as f:
-                cmdline = f.read()
-        except OSError:
-            cmdline = b""
+        # /proc/<pid>/cmdline reads back empty during the fork→exec window
+        # (observed ~30% of reads immediately after Popen), so an empty read
+        # is indeterminate, not stale — retry briefly before concluding.
+        cmdline = b""
+        for _ in range(10):
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmdline = f.read()
+            except OSError:
+                cmdline = b""
+                break
+            if cmdline:
+                break
+            time.sleep(0.05)
         if b"python" not in cmdline:
             path.unlink(missing_ok=True)
             return False

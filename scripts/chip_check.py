@@ -177,13 +177,12 @@ def main():
         from gnn_pretraining_tpu.ops.spmm_csr import (
             build_block_csr,
             gin_aggregate_csr,
+            synthetic_banded_edges,
         )
 
         rng = np.random.default_rng(8)
         n, e, band = 16384, 16384 * 8, 512
-        senders = rng.integers(0, n, e).astype(np.int32)
-        delta = rng.geometric(4.0 / band, e) * rng.choice([-1, 1], e)
-        receivers = np.clip(senders + delta, 0, n - 1).astype(np.int32)
+        senders, receivers = synthetic_banded_edges(n, e, band, rng)
         mask = np.ones(e, np.float32)
         h = jnp.asarray(rng.normal(size=(n, 256)), jnp.float32)
         eps = jnp.float32(0.13)
@@ -199,11 +198,13 @@ def main():
                 senders, receivers, mask, n,
                 dtype=np.float32 if mode == "highest" else jnp.bfloat16)
 
-            def f_csr(x, bsr=bsr, mode=mode):
-                return jnp.mean(gin_aggregate_csr(x, bsr, eps, mode) ** 2)
+            def f_csr(x, b, mode=mode):
+                return jnp.mean(gin_aggregate_csr(x, b, eps, mode) ** 2)
 
+            # bsr as a jit argument, not a closure: the f32 'highest' blocks
+            # are large and closures ship with the remote-compiled executable
             got_l, got_g = jax.device_get(
-                jax.jit(jax.value_and_grad(f_csr))(h))
+                jax.jit(jax.value_and_grad(f_csr))(h, bsr))
             np.testing.assert_allclose(got_l, ref_l, rtol=rtol,
                                        err_msg=f"csr {mode} loss")
             np.testing.assert_allclose(got_g, ref_g, rtol=rtol, atol=1e-4,

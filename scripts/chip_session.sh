@@ -12,7 +12,12 @@ cd "$(dirname "$0")/.."
 
 echo "=== chip_check ==="
 python scripts/chip_check.py
-echo "chip_check rc=$?"
+rc=$?
+echo "chip_check rc=$rc"
+if [ "$rc" -ne 0 ]; then
+    echo "chip_check failed — aborting before tuning/bench (fix kernels first)"
+    exit "$rc"
+fi
 
 echo "=== ntxent size scan (sets FUSED_NTXENT_MIN_ROWS) ==="
 python - <<'EOF'

@@ -42,6 +42,7 @@ def scan(sizes, feat, degree, band=0):
     from gnn_pretraining_tpu.ops.spmm_csr import (
         build_block_csr,
         gin_aggregate_csr,
+        synthetic_banded_edges,
     )
 
     eps = jnp.float32(0.1)
@@ -49,11 +50,10 @@ def scan(sizes, feat, degree, band=0):
     for n in sizes:
         e = int(degree * n)
         rng = np.random.default_rng(n)
-        senders_np = rng.integers(0, n, e).astype(np.int32)
         if band:
-            delta = rng.geometric(4.0 / band, e) * rng.choice([-1, 1], e)
-            receivers_np = np.clip(senders_np + delta, 0, n - 1).astype(np.int32)
+            senders_np, receivers_np = synthetic_banded_edges(n, e, band, rng)
         else:
+            senders_np = rng.integers(0, n, e).astype(np.int32)
             receivers_np = rng.integers(0, n, e).astype(np.int32)
         senders = jnp.asarray(senders_np)
         receivers = jnp.asarray(receivers_np)
@@ -62,37 +62,41 @@ def scan(sizes, feat, degree, band=0):
         bsr = build_block_csr(senders_np, receivers_np,
                               np.ones(e, np.float32), n, dtype=jnp.bfloat16)
 
-        def fwd_bwd_coo(x):
+        def fwd_bwd_coo(x, s, r, m):
             out, vjp = jax.vjp(
-                lambda hh: gin_aggregate_coo(hh, senders, receivers,
-                                             edge_mask, eps), x)
+                lambda hh: gin_aggregate_coo(hh, s, r, m, eps), x)
             return vjp(out)[0]
 
-        def fwd_bwd_csr(x):
+        def fwd_bwd_csr(x, b):
             out, vjp = jax.vjp(
-                lambda hh: gin_aggregate_csr(hh, bsr, eps, "split"), x)
+                lambda hh: gin_aggregate_csr(hh, b, eps, "split"), x)
             return vjp(out)[0]
 
-        def timed(fn):
-            stepped = jax.jit(lambda x, iters: jnp.sum(jax.lax.fori_loop(
-                0, iters, lambda _, xx: fn(xx), x)))
+        def timed(fn, *operands):
+            # Graph operands are jit arguments, never closures: a closed-over
+            # 8192^2 f32 adjacency (256 MB) ships with the executable to the
+            # remote compiler (CLAUDE.md).
+            stepped = jax.jit(lambda x, iters, *ops: jnp.sum(jax.lax.fori_loop(
+                0, iters, lambda _, xx: fn(xx, *ops), x)))
             def run(iters):
-                return lambda: stepped(h, iters)
+                return lambda: stepped(h, iters, *operands)
             return slope_time(run)
 
         row = {"n": n, "e": e, "feat": feat, "nnzb": bsr.nnzb,
                "band": band or 0}
         # dense only in its design regime — a 32768^2 f32 adjacency is 4 GB
-        if n <= 8192:
+        from gnn_pretraining_tpu.config import DENSE_ADJACENCY_MAX_NODES
+        if n <= DENSE_ADJACENCY_MAX_NODES:
             adj = build_dense_adjacency(senders, receivers, edge_mask, n)
 
-            def fwd_bwd_dense(x):
-                out, vjp = jax.vjp(lambda hh: spmm_pallas(adj, hh, eps), x)
+            def fwd_bwd_dense(x, a):
+                out, vjp = jax.vjp(lambda hh: spmm_pallas(a, hh, eps), x)
                 return vjp(out)[0]
 
-            t_dense = timed(fwd_bwd_dense)
+            t_dense = timed(fwd_bwd_dense, adj)
             row["dense_edges_per_s"] = round(e / t_dense, 1)
-        t_coo, t_csr = timed(fwd_bwd_coo), timed(fwd_bwd_csr)
+        t_coo = timed(fwd_bwd_coo, senders, receivers, edge_mask)
+        t_csr = timed(fwd_bwd_csr, bsr)
         row["coo_edges_per_s"] = round(e / t_coo, 1)
         row["csr_edges_per_s"] = round(e / t_csr, 1)
         row["csr_over_coo"] = round(t_coo / t_csr, 3)
@@ -104,10 +108,15 @@ def scan(sizes, feat, degree, band=0):
 
     cross = next((r["n"] for r in rows
                   if r.get("dense_over_coo", 9e9) < 1.0), None)
-    print(json.dumps({"crossover_n": cross,
-                      "note": ("dense wins at every scanned size"
-                               if cross is None else
-                               f"COO overtakes dense at N>={cross}")}))
+    dense_ns = [r["n"] for r in rows if "dense_edges_per_s" in r]
+    if cross is not None:
+        note = f"COO overtakes dense at N>={cross}"
+    elif dense_ns:
+        note = (f"dense wins at every measured size (N<={max(dense_ns)}; "
+                "larger sizes scanned CSR/COO only)")
+    else:
+        note = "dense not measured at any scanned size"
+    print(json.dumps({"crossover_n": cross, "note": note}))
     return rows
 
 
