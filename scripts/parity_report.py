@@ -112,6 +112,17 @@ def main() -> None:
             f"{diffs.mean():.4f}, max |Δ| = {diffs.max():.4f} over "
             f"{len(b1)} cells.",
         ]
+
+    lines += [
+        "",
+        "Known divergence: NFM-bearing schemes (b2, s1) underperform their",
+        "reference Δb1 on the NC domains. `analysis/results/nfm_probe.md`",
+        "shows this is a synthetic-data artifact — it reproduces under the",
+        "iid feature calibration used by the sweep and vanishes under a",
+        "neighbor-correlated calibration, with a backbone-collapse mechanism",
+        "diagnostic — not a behavioral defect (NFM audited line-by-line",
+        "against the reference).",
+    ]
     (RESULTS / "parity_vs_reference.md").write_text("\n".join(lines) + "\n")
     print(f"Wrote {RESULTS / 'parity_vs_reference.md'} ({len(rep)} cells)")
 
