@@ -26,6 +26,31 @@ def _to_float(v):
         return v
 
 
+def record_pretrain_timing(run_name: str, seconds: float) -> None:
+    """Merge one pretrain cell's wall time into the tracked
+    ``analysis/results/pretrain_timings.json``.
+
+    ``outputs/`` (checkpoints, metric JSONLs, sweep logs) is gitignored and
+    dies with the container; the fine-tune grid survives through the tracked
+    results CSV (``training_time`` column, reference
+    analysis/data_collection.py:85-113) but pretrain timings had no durable
+    home, so each container reset destroyed the wall-clock evidence for the
+    24-cell pretrain grid. Same merge discipline as the CSV: per-cell,
+    latest run wins, atomic replace."""
+    path = config.REPO_ROOT / "analysis" / "results" / "pretrain_timings.json"
+    timings: Dict[str, float] = {}
+    if path.exists():
+        try:
+            timings = json.loads(path.read_text())
+        except (json.JSONDecodeError, OSError):
+            timings = {}
+    timings[run_name] = round(float(seconds), 1)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_name(path.name + ".tmp")
+    tmp.write_text(json.dumps(dict(sorted(timings.items())), indent=2) + "\n")
+    os.replace(tmp, path)
+
+
 class MetricLogger:
     def __init__(self, project: str, run_name: str,
                  out_dir: Optional[Path] = None, use_wandb: bool = True):

@@ -22,6 +22,7 @@ from gnn_pretraining_tpu.utils.runtime import (
     setup_jax,
 )
 from gnn_pretraining_tpu.pretrain.pretrain import pretrain
+from gnn_pretraining_tpu.utils.logging import record_pretrain_timing
 
 
 def shard_grid(grid, args):
@@ -86,6 +87,11 @@ def run_sweep(args) -> None:
             print(f"[{i+1}/{len(grid)}] {cfg.run_name}: "
                   f"best_val={res['best_val_total']:.4f} "
                   f"({time.time()-t0:.0f}s)")
+            # Production-fidelity cells feed the tracked wall-clock record
+            # (reduced-epoch mini sweeps and tmp out_roots stay out of it).
+            if (args.epochs in (None, config.PRETRAIN_EPOCHS)
+                    and args.out_root is None):
+                record_pretrain_timing(cfg.run_name, time.time() - t0)
         except Exception:
             traceback.print_exc()
             failed.append(cfg.run_name)

@@ -28,6 +28,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from gnn_pretraining_tpu import config  # noqa: E402
+from gnn_pretraining_tpu.utils.logging import (  # noqa: E402
+    record_pretrain_timing,
+)
 from gnn_pretraining_tpu.utils.runtime import (  # noqa: E402
     setup_jax,
     write_pidfile,
@@ -141,6 +144,7 @@ def main() -> None:
             print(f"[1/1] {pcfg.run_name}: "
                   f"best_val={res['best_val_total']:.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
+            record_pretrain_timing(pcfg.run_name, time.time() - t0)
         run_grid(dep_grid, ft_args)
         collect()
     print("=== resume_lp_sweep done ===", flush=True)
