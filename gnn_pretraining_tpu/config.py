@@ -92,13 +92,15 @@ BN_EPS = 1e-5
 # single-chip path; the SPMD path always uses the gather-based XLA variant.
 FUSED_NTXENT = True
 
-# Below this many rows the XLA nt_xent_loss formula is faster on the v5e
-# (bench.py measured the fused kernel at 0.55x XLA for n=1024, d=128: XLA
-# fuses the small 2Nx2N similarity matrix fine, and the Pallas grid has too
-# few tiles to fill the core). The fused kernel exists for its O(N) memory —
-# no 2Nx2N in HBM — which only matters at large N, mirroring the streaming
-# miner's 8192-row dispatch (finetune/mining.py).
-FUSED_NTXENT_MIN_ROWS = 8192
+# Below this many rows the XLA nt_xent_loss formula is faster on the v5e:
+# XLA fuses the small 2Nx2N similarity matrix fine and the Pallas grid has
+# too few tiles to fill the core. Measured crossover on chip with the
+# round-3 retiled kernel (scripts/chip_session.sh size scan, vs_baseline =
+# fused/XLA): n=1024 0.40x, n=2048 0.47x, n=4096 1.32x, n=8192 1.29x —
+# the fused kernel wins from n=4096 up, where its O(N) memory (no 2Nx2N in
+# HBM) also starts to matter, mirroring the streaming miner's 8192-row
+# dispatch (finetune/mining.py).
+FUSED_NTXENT_MIN_ROWS = 4096
 
 # Above this many nodes ops/spmm.gin_aggregate refuses to materialize an
 # [N, N] dense adjacency (8192^2 bf16 = 128 MB is the last sane size) and

@@ -146,12 +146,14 @@ def _spmm_fwd_impl(adj: jnp.ndarray, h: jnp.ndarray, eps: jnp.ndarray,
     # Defaults (explicit args win — scripts/tune_spmm.py scans alternatives):
     # single-pass K when the whole contraction fits comfortably in VMEM —
     # measured ~25% faster than accumulating over K tiles on v5e (no
-    # accumulator read-modify-write, better pipelining).
+    # accumulator read-modify-write, better pipelining). bm=256 over 128:
+    # +8% (Cora 90.1 vs 83.2 Me/s) / +12% (ENZYMES batch) in the round-3
+    # on-chip tile scan — fewer grid steps, same single-K pipelining.
     if bn is None:
         bn = 256
     if bm is None or bk is None:
         if n0 <= 4096:
-            bm, bk = bm or 128, bk or _round_up(n0, 128)
+            bm, bk = bm or 256, bk or _round_up(n0, 128)
         else:
             bm, bk = bm or 256, bk or 512
     # Every block dim must be a multiple of 128 (Mosaic requires the last two

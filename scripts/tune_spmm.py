@@ -51,10 +51,15 @@ def main() -> None:
         for bm, bn, bk in candidates:
             @functools.partial(jax.jit, static_argnames=("iters",))
             def run(a, x, iters, bm=bm, bn=bn, bk=bk):
+                # One fwd + one transposed pass per iteration — exactly what
+                # spmm_pallas's custom VJP executes. jax.grad is NOT used:
+                # _spmm_fwd_impl is the raw pallas_call (no custom_vjp), and
+                # Pallas AD of the accumulator kernel fails on chip.
                 def fwd_bwd(xx):
-                    g = jax.grad(lambda y: jnp.sum(
-                        _spmm_fwd_impl(a, y, eps, bm=bm, bn=bn, bk=bk,
-                                       mode="split") ** 2))(xx)
+                    out = _spmm_fwd_impl(a, xx, eps, bm=bm, bn=bn, bk=bk,
+                                         mode="split")
+                    g = _spmm_fwd_impl(a, out, eps, bm=bm, bn=bn, bk=bk,
+                                       mode="split", transpose_a=True)
                     return g / (1e-6 + jnp.max(jnp.abs(g)))
 
                 return jnp.sum(jax.lax.fori_loop(
