@@ -67,15 +67,8 @@ class ThroughputMeter:
                 f"{prefix}/steps_per_s": self.steps_per_s}
 
 
-def slope_time(make_run: Callable[[int], Callable[[], object]],
-               n1: int = 50, n2: int = 400, reps: int = 2) -> float:
-    """Marginal per-iteration wall time of a jitted loop.
-
-    ``make_run(iters)`` must return a 0-arg callable whose result forces full
-    device completion when converted (e.g. returns a scalar that the caller
-    ``float()``s). The per-call fixed cost — which over a TPU relay tunnel can
-    be hundreds of ms of RPC and host-transfer — cancels in the difference.
-    """
+def _slope_once(make_run: Callable[[int], Callable[[], object]],
+                n1: int, n2: int, reps: int) -> float:
     r1, r2 = make_run(n1), make_run(n2)
     float(r1())
     float(r2())
@@ -87,7 +80,34 @@ def slope_time(make_run: Callable[[int], Callable[[], object]],
         t0 = time.perf_counter()
         float(r2())
         t2s.append(time.perf_counter() - t0)
-    return max((min(t2s) - min(t1s)) / (n2 - n1), 1e-12)
+    return min(t2s) - min(t1s)
+
+
+def slope_time(make_run: Callable[[int], Callable[[], object]],
+               n1: int = 50, n2: int = 400, reps: int = 2,
+               min_delta_s: float = 0.03, max_iters: int = 102_400) -> float:
+    """Marginal per-iteration wall time of a jitted loop.
+
+    ``make_run(iters)`` must return a 0-arg callable whose result forces full
+    device completion when converted (e.g. returns a scalar that the caller
+    ``float()``s). The per-call fixed cost — which over a TPU relay tunnel can
+    be hundreds of ms of RPC and host-transfer — cancels in the difference.
+
+    The relay's per-call jitter is tens of ms, so a fast op (µs/iter) can
+    produce a delta indistinguishable from noise at the default spread —
+    which once silently reported an XLA NT-Xent baseline as ~0 s/iter
+    (``vs_baseline: 0.0`` in a bench line). When the measured delta is below
+    ``min_delta_s``, first add reps (tighter min), then widen the iteration
+    spread ×8 (one extra compile per widening) until the delta clears the
+    floor or ``max_iters`` is reached.
+    """
+    delta = _slope_once(make_run, n1, n2, reps)
+    if delta < min_delta_s:
+        delta = _slope_once(make_run, n1, n2, reps=4)
+    while delta < min_delta_s and n2 * 8 <= max_iters:
+        n1, n2 = n2, n2 * 8
+        delta = _slope_once(make_run, n1, n2, reps=3)
+    return max(delta / (n2 - n1), 1e-12)
 
 
 def enable_nan_checks(enabled: bool = True) -> None:
