@@ -213,19 +213,27 @@ def process_planetoid_dataset(name: str, raw_dir: Path, synthetic_scale: float =
 
 def main(processed_dir: Optional[Path] = None, raw_dir: Optional[Path] = None,
          synthetic_scale: float = 1.0, synthetic_seed: int = 0,
-         synthetic_homophily: float = 0.0) -> None:
+         synthetic_homophily: float = 0.0, only=None) -> None:
+    """``only`` restricts processing to the named datasets (TU names or
+    Planetoid names) — e.g. a Cora-only store at a large synthetic scale for
+    the 16k-node CSR cell, without paying graph-property computation for
+    thousands of scaled TU graphs."""
     processed_dir = Path(processed_dir or config.PROCESSED_DIR)
     raw_dir = Path(raw_dir or config.RAW_DIR)
     processed_dir.mkdir(parents=True, exist_ok=True)
 
     print("Processing TU datasets...")
     for name in config.TUDATASETS:
+        if only is not None and name not in only:
+            continue
         store = process_tu_dataset(name, raw_dir, synthetic_scale,
                                    synthetic_seed, synthetic_homophily)
         store.save(processed_dir / f"{name}.npz")
 
     print("Processing Planetoid datasets...")
     for name in config.PLANETOID_DATASETS:
+        if only is not None and name not in only:
+            continue
         stores = process_planetoid_dataset(name, raw_dir, synthetic_scale,
                                            synthetic_seed)
         for key, store in stores.items():
@@ -242,6 +250,8 @@ if __name__ == "__main__":
     p.add_argument("--synthetic_homophily", type=float, default=0.0,
                    help="smooth synthetic TU node features over edges so they "
                         "are neighbor-predictable (NFM probe calibration)")
+    p.add_argument("--only", type=str, nargs="+", default=None,
+                   help="process only these datasets (TU/Planetoid names)")
     a = p.parse_args()
     main(a.processed_dir, a.raw_dir, a.synthetic_scale, a.synthetic_seed,
-         a.synthetic_homophily)
+         a.synthetic_homophily, a.only)

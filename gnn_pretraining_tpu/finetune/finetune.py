@@ -356,11 +356,17 @@ def _init_finetune_model(cfg, data, aggregation, seed):
 
 def _init_finetune_model_impl(cfg, data, aggregation, seed):
     model = FinetuneGNN(domain_name=cfg.domain_name, aggregation=aggregation)
+    # Initialization traces one forward; params are aggregation-invariant
+    # (aggregation only picks the SpMM implementation), so csr — whose
+    # forward needs a prebuilt BlockCSR the runner constructs later — inits
+    # through the coo trace and applies with the csr model.
+    init_model = (FinetuneGNN(domain_name=cfg.domain_name, aggregation="coo")
+                  if aggregation == "csr" else model)
     rngs = {"params": jax.random.PRNGKey(seed),
             "dropout": jax.random.PRNGKey(seed + 1)}
     if cfg.task_type == "graph_classification":
         b = data["train"].batches[0]
-        variables = model.init(rngs, jnp.asarray(b.x), jnp.asarray(b.node_mask),
+        variables = init_model.init(rngs, jnp.asarray(b.x), jnp.asarray(b.node_mask),
                                True, senders=jnp.asarray(b.senders),
                                receivers=jnp.asarray(b.receivers),
                                edge_mask=jnp.asarray(b.edge_mask),
@@ -368,14 +374,14 @@ def _init_finetune_model_impl(cfg, data, aggregation, seed):
                                num_graphs=b.num_graphs)
     elif cfg.task_type == "node_classification":
         g = data["train"].graph
-        variables = model.init(rngs, jnp.asarray(g.x), jnp.asarray(g.node_mask),
+        variables = init_model.init(rngs, jnp.asarray(g.x), jnp.asarray(g.node_mask),
                                True, senders=jnp.asarray(g.senders),
                                receivers=jnp.asarray(g.receivers),
                                edge_mask=jnp.asarray(g.edge_mask))
     else:
         g = data["train"].graph
         e0 = jnp.asarray(data["train"].edges[0])
-        variables = model.init(rngs, jnp.asarray(g.x), jnp.asarray(g.node_mask),
+        variables = init_model.init(rngs, jnp.asarray(g.x), jnp.asarray(g.node_mask),
                                True, senders=jnp.asarray(g.senders),
                                receivers=jnp.asarray(g.receivers),
                                edge_mask=jnp.asarray(g.edge_mask),
@@ -416,17 +422,32 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
     if cfg.pretrained_scheme != "b1":
         ckpt_file = (out_root / "pretrain"
                      / f"model_{cfg.pretrained_scheme}_{cfg.seed}.msgpack")
-        if not ckpt_file.exists():
+        artifact_file = (config.ARTIFACTS_DIR / "transfer"
+                         / f"backbone_{cfg.pretrained_scheme}_{cfg.seed}"
+                           ".msgpack")
+        if ckpt_file.exists():
+            ckpt = load_checkpoint(ckpt_file)
+            pt_vars = {"params": ckpt["params"],
+                       "batch_stats": ckpt["batch_stats"]}
+        elif artifact_file.exists():
+            # Fall back to the tracked compact transfer artifact (fp16
+            # backbone, VERDICT r3 #2) — the analogue of the reference's
+            # wandb-artifact fallback (finetune_model.py:83-125): a fresh
+            # container fine-tunes with zero re-pretraining.
+            from gnn_pretraining_tpu.utils.checkpoint import (
+                load_transfer_artifact,
+            )
+            pt_vars = load_transfer_artifact(artifact_file)
+        else:
             raise FileNotFoundError(
-                f"pretrained checkpoint {ckpt_file} not found — run "
-                f"`python run_pretrain.py --exp_name {cfg.pretrained_scheme} "
-                f"--seed {cfg.seed}` first (reference resolves missing local "
-                "checkpoints from wandb artifacts, finetune_model.py:83-125; "
-                "here the local outputs directory is the artifact store)")
-        ckpt = load_checkpoint(ckpt_file)
+                f"pretrained checkpoint {ckpt_file} not found and no tracked "
+                f"artifact at {artifact_file} — run `python run_pretrain.py "
+                f"--exp_name {cfg.pretrained_scheme} --seed {cfg.seed}` first "
+                "(reference resolves missing local checkpoints from wandb "
+                "artifacts, finetune_model.py:83-125; here outputs/ is the "
+                "scratch store and artifacts/ the durable one)")
         variables = load_pretrained_into_finetune(
-            variables, {"params": ckpt["params"],
-                        "batch_stats": ckpt["batch_stats"]}, cfg.domain_name)
+            variables, pt_vars, cfg.domain_name)
 
     optimizer, labels, lrs = create_finetune_optimizer(variables["params"], cfg)
     state = FTState(params=variables["params"],
@@ -694,7 +715,7 @@ def main() -> None:
     parser.add_argument("--seed", type=int, required=True)
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--aggregation", type=str, default="pallas",
-                        choices=["dense", "pallas", "coo"])
+                        choices=["dense", "pallas", "coo", "csr"])
     parser.add_argument("--no_wandb", action="store_true")
     parser.add_argument("--edge_parallel", action="store_true",
                         help="shard the graph's edges over all devices "

@@ -149,8 +149,9 @@ def _nc_fns(model: FinetuneGNN, cfg, optimizer, labels):
     def forward(params, stats, aux, train, rng):
         g = aux["graph"]
         variables = {"params": params, "batch_stats": stats}
-        kwargs = dict(adj=aux["adj"], senders=g["senders"],
-                      receivers=g["receivers"], edge_mask=g["edge_mask"])
+        kwargs = dict(adj=aux.get("adj"), bsr=aux.get("bsr"),
+                      senders=g["senders"], receivers=g["receivers"],
+                      edge_mask=g["edge_mask"])
         if train:
             return model.apply(variables, g["x"], g["node_mask"], True,
                                mutable=["batch_stats"], rngs={"dropout": rng},
@@ -196,8 +197,9 @@ def _lp_fns(model: FinetuneGNN, cfg, optimizer, labels, num_hard):
     def embed(params, stats, aux, train, rng):
         g = aux["graph"]
         variables = {"params": params, "batch_stats": stats}
-        kwargs = dict(adj=aux["adj"], senders=g["senders"],
-                      receivers=g["receivers"], edge_mask=g["edge_mask"])
+        kwargs = dict(adj=aux.get("adj"), bsr=aux.get("bsr"),
+                      senders=g["senders"], receivers=g["receivers"],
+                      edge_mask=g["edge_mask"])
         if train:
             out, mut = model.apply(variables, g["x"], g["node_mask"], True,
                                    mutable=["batch_stats"],
@@ -212,8 +214,9 @@ def _lp_fns(model: FinetuneGNN, cfg, optimizer, labels, num_hard):
         """Returns LP *logits* (loss uses the stable BCE-with-logits form)."""
         g = aux["graph"]
         variables = {"params": params, "batch_stats": stats}
-        kwargs = dict(adj=aux["adj"], senders=g["senders"],
-                      receivers=g["receivers"], edge_mask=g["edge_mask"],
+        kwargs = dict(adj=aux.get("adj"), bsr=aux.get("bsr"),
+                      senders=g["senders"], receivers=g["receivers"],
+                      edge_mask=g["edge_mask"],
                       score_senders=s, score_receivers=r, return_logits=True)
         if train:
             return model.apply(variables, g["x"], g["node_mask"], True,
@@ -281,24 +284,27 @@ def _gc_stack(data: GraphClassificationData):
                           for b in data.batches])
 
 
-def _nc_stack(data: NodeClassificationData):
+def _nc_stack(data: NodeClassificationData, remap=None):
     sizes = [len(ix) for ix in data.node_indices]
     b = max(sizes)
     idx = np.zeros((len(sizes), b), np.int32)
     ys = np.zeros((len(sizes), b), np.int32)
     mask = np.zeros((len(sizes), b), np.float32)
     for i, (ix, y) in enumerate(zip(data.node_indices, data.labels)):
-        idx[i, :len(ix)] = ix
+        idx[i, :len(ix)] = remap[ix] if remap is not None else ix
         ys[i, :len(y)] = y
         mask[i, :len(ix)] = 1.0
     return {"idx": jnp.asarray(idx), "y": jnp.asarray(ys),
             "mask": jnp.asarray(mask)}
 
 
-def _lp_stack(data: LinkPredictionData, split: str):
+def _lp_stack(data: LinkPredictionData, split: str, remap=None):
+    edges = _stack(data.edges)
+    if remap is not None:
+        edges = jnp.asarray(remap)[edges]
     if split == "train":
-        return {"edges": _stack(data.edges), "mask": _stack(data.edge_mask)}
-    return {"edges": _stack(data.edges), "y": _stack(data.labels),
+        return {"edges": edges, "mask": _stack(data.edge_mask)}
+    return {"edges": edges, "y": _stack(data.labels),
             "mask": _stack(data.edge_mask)}
 
 
@@ -307,6 +313,35 @@ def _graph_dict(g):
             "receivers": jnp.asarray(g.receivers),
             "edge_mask": jnp.asarray(g.edge_mask),
             "node_mask": jnp.asarray(g.node_mask)}
+
+
+def _csr_graph_aux(g):
+    """RCM-reorder the domain graph and build its BlockCSR host-side
+    (VERDICT r3 #3: loader-side BSR + rcm_order, then the loop just passes
+    tiles to the model). Returns the permuted graph dict, the BlockCSR over
+    the permuted edges, and ``inv`` (old node id → new node id) for remapping
+    split node indices / scoring edges.
+
+    The permutation relabels nodes so edges concentrate near the diagonal —
+    fewer nonzero (128,128) tiles, less HBM traffic — and is exactly
+    compensated by remapping every node-indexed array, so losses/metrics
+    match the unpermuted run up to float reduction order."""
+    from gnn_pretraining_tpu.ops.spmm_csr import build_block_csr, rcm_order
+
+    sen = np.asarray(g.senders)
+    rec = np.asarray(g.receivers)
+    em = np.asarray(g.edge_mask, np.float32)
+    n = int(np.asarray(g.node_mask).shape[0])
+    valid = em != 0
+    perm = rcm_order(sen[valid], rec[valid], n)  # perm[new] = old
+    inv = np.argsort(perm).astype(np.int32)     # inv[old] = new
+    sen2, rec2 = inv[sen], inv[rec]
+    gd = {"x": jnp.asarray(np.asarray(g.x)[perm]),
+          "senders": jnp.asarray(sen2), "receivers": jnp.asarray(rec2),
+          "edge_mask": jnp.asarray(em),
+          "node_mask": jnp.asarray(np.asarray(g.node_mask)[perm])}
+    bsr = build_block_csr(sen2, rec2, em, n)
+    return gd, bsr, inv
 
 
 # ---------------------------------------------------------------------------
@@ -326,6 +361,11 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
     """
     task = cfg.task_type
     adj_dtype = jnp.bfloat16 if aggregation == "pallas" else jnp.float32
+    if aggregation == "csr" and task == "graph_classification":
+        raise ValueError(
+            "aggregation='csr' needs one fixed message-passing graph (node "
+            "classification / link prediction domains); graph-classification "
+            "batches change structure per step — use pallas/coo/dense there")
 
     if task == "graph_classification":
         train_one, eval_one = _gc_fns(model, cfg, optimizer, labels)
@@ -336,14 +376,23 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
     elif task == "node_classification":
         train_one, eval_one = _nc_fns(model, cfg, optimizer, labels)
         g = data["train"].graph
-        adj = build_dense_adjacency(jnp.asarray(g.senders),
-                                    jnp.asarray(g.receivers),
-                                    jnp.asarray(g.edge_mask), g.num_nodes,
-                                    dtype=adj_dtype)
-        aux = {"graph": _graph_dict(g), "adj": adj}
-        train_stack = _nc_stack(data["train"])
-        val_stack = _nc_stack(data["val"])
-        test_stack = _nc_stack(data["test"])
+        remap = None
+        if aggregation == "csr":
+            gd, bsr, remap = _csr_graph_aux(g)
+            aux = {"graph": gd, "bsr": bsr}
+        elif aggregation == "coo":
+            # COO never reads the dense adjacency; building it anyway would
+            # cost O(N²) HBM + a relay upload (1 GB at N=16k).
+            aux = {"graph": _graph_dict(g)}
+        else:
+            adj = build_dense_adjacency(jnp.asarray(g.senders),
+                                        jnp.asarray(g.receivers),
+                                        jnp.asarray(g.edge_mask), g.num_nodes,
+                                        dtype=adj_dtype)
+            aux = {"graph": _graph_dict(g), "adj": adj}
+        train_stack = _nc_stack(data["train"], remap)
+        val_stack = _nc_stack(data["val"], remap)
+        test_stack = _nc_stack(data["test"], remap)
     else:
         from gnn_pretraining_tpu.finetune.mining import (
             build_forbidden_mask,
@@ -353,21 +402,33 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
 
         g = data["train"].graph
         train_edges = data["train"].train_edges
-        adj = build_dense_adjacency(jnp.asarray(g.senders),
-                                    jnp.asarray(g.receivers),
-                                    jnp.asarray(g.edge_mask), g.num_nodes,
-                                    dtype=adj_dtype)
+        remap = None
+        if aggregation == "csr":
+            gd, bsr, remap = _csr_graph_aux(g)
+            aux = {"graph": gd, "bsr": bsr}
+            train_edges = remap[np.asarray(train_edges)]
+            node_mask = np.asarray(g.node_mask)[np.argsort(remap)]
+        elif aggregation == "coo":
+            aux = {"graph": _graph_dict(g)}
+            node_mask = g.node_mask
+        else:
+            adj = build_dense_adjacency(jnp.asarray(g.senders),
+                                        jnp.asarray(g.receivers),
+                                        jnp.asarray(g.edge_mask), g.num_nodes,
+                                        dtype=adj_dtype)
+            aux = {"graph": _graph_dict(g), "adj": adj}
+            node_mask = g.node_mask
         real_n = int(np.asarray(g.node_mask).sum())
         forbidden = jnp.asarray(build_forbidden_mask(g.num_nodes, train_edges,
-                                                     node_mask=g.node_mask))
+                                                     node_mask=node_mask))
         num_hard = hard_count(candidate_count(g.num_nodes, train_edges,
                                               num_real_nodes=real_n),
                               cfg.batch_size)
         train_one, eval_one = _lp_fns(model, cfg, optimizer, labels, num_hard)
-        aux = {"graph": _graph_dict(g), "adj": adj, "forbidden": forbidden}
-        train_stack = _lp_stack(data["train"], "train")
-        val_stack = _lp_stack(data["val"], "val")
-        test_stack = _lp_stack(data["test"], "test")
+        aux["forbidden"] = forbidden
+        train_stack = _lp_stack(data["train"], "train", remap)
+        val_stack = _lp_stack(data["val"], "val", remap)
+        test_stack = _lp_stack(data["test"], "test", remap)
 
     # Edges aggregated per training step (real, mask-valid), for the
     # per-cell edges_per_sec telemetry column: GC steps aggregate one padded

@@ -34,16 +34,6 @@ from gnn_pretraining_tpu.ops.sampling import (
 )
 from gnn_pretraining_tpu.ops.ntxent_pallas import nt_xent_pallas
 from gnn_pretraining_tpu.ops.sddmm import nt_xent_loss
-
-
-def _nt_xent(z1, z2, temperature, valid, axis_name):
-    # Shape is static under jit, so this dispatch costs nothing at runtime:
-    # small batches take the XLA formula (faster on-chip below the
-    # threshold), large ones the fused Pallas kernel (O(N) memory).
-    if (axis_name is None and config.FUSED_NTXENT
-            and z1.shape[0] >= config.FUSED_NTXENT_MIN_ROWS):
-        return nt_xent_pallas(z1, z2, temperature, valid)
-    return nt_xent_loss(z1, z2, temperature, valid, axis_name=axis_name)
 from gnn_pretraining_tpu.ops.segment import (
     segment_max,
     segment_mean,
@@ -63,6 +53,16 @@ class TaskContext(NamedTuple):
     # sums are psum'd over it and contrastive rows are all_gather'd, so the
     # step computes exactly the single-device global loss.
     axis_name: str | None = None
+
+
+def _nt_xent(z1, z2, temperature, valid, axis_name):
+    # Shape is static under jit, so this dispatch costs nothing at runtime:
+    # small batches take the XLA formula (faster on-chip below the
+    # threshold), large ones the fused Pallas kernel (O(N) memory).
+    if (axis_name is None and config.FUSED_NTXENT
+            and z1.shape[0] >= config.FUSED_NTXENT_MIN_ROWS):
+        return nt_xent_pallas(z1, z2, temperature, valid)
+    return nt_xent_loss(z1, z2, temperature, valid, axis_name=axis_name)
 
 
 def _preduce(x, axis_name):

@@ -92,7 +92,8 @@ def run_grid(grid, args) -> None:
         try:
             res = finetune(cfg, aggregation=args.aggregation,
                            epochs=args.epochs, use_wandb=not args.no_wandb,
-                           out_root=args.out_root)
+                           out_root=args.out_root,
+                           processed_dir=args.processed_dir)
             key = ("test/auc" if cfg.task_type == "link_prediction"
                    else "test/accuracy")
             print(f"[{i+1}/{len(grid)}] {cfg.run_name}: {key}="
@@ -122,10 +123,13 @@ def main() -> None:
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--aggregation", type=str, default="pallas",
-                        choices=["dense", "pallas", "coo"])
+                        choices=["dense", "pallas", "coo", "csr"])
     parser.add_argument("--no_wandb", action="store_true")
     parser.add_argument("--shard_index", type=int, default=None)
     parser.add_argument("--num_shards", type=int, default=0)
+    parser.add_argument("--processed_dir", type=str, default=None,
+                        help="alternate processed-data store (e.g. a scaled "
+                             "synthetic store for the 16k-node CSR cell)")
     parser.add_argument("--out_root", type=str, default=None,
                         help="root for checkpoints/metrics (default: the "
                              "production outputs/ store); point smoke runs "
@@ -149,7 +153,8 @@ def main() -> None:
                                     pretrained_scheme=args.pretrained_scheme,
                                     seed=args.seed)
         res = finetune(cfg, aggregation=args.aggregation, epochs=args.epochs,
-                       use_wandb=not args.no_wandb, out_root=args.out_root)
+                       use_wandb=not args.no_wandb, out_root=args.out_root,
+                       processed_dir=args.processed_dir)
         print({k: round(v, 4) if isinstance(v, float) else v
                for k, v in res.items()})
 

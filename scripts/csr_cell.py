@@ -1,0 +1,99 @@
+"""Drive the block-CSR path end-to-end at a scale the reference never reached
+(VERDICT r3 #3): one driver-launched ≥16k-node synthetic Cora_NC cell trained
+to convergence on the chip with ``--aggregation csr``, next to the identical
+COO cell, recording both edges/s and quality to a tracked results file.
+
+The cell is the production Cora_NC full-finetune b1 configuration (200
+epochs, full-batch NC) on a 6×-scaled synthetic Cora (~16.2k nodes, ~63k
+undirected edges); GIN semantics match /root/reference/src/models/gnn.py:29-37
+at every scale.
+
+  python scripts/csr_cell.py            # both runs + report
+  python scripts/csr_cell.py --scale 6.0 --epochs 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from gnn_pretraining_tpu import config  # noqa: E402
+
+RESULTS = REPO / "analysis" / "results" / "csr_cell.json"
+
+
+def ensure_store(scale: float) -> Path:
+    store = REPO / "data" / f"processed_{int(scale)}x"
+    if not (store / "Cora_NC.npz").exists():
+        print(f"building scaled store at {store} (scale {scale})...")
+        from gnn_pretraining_tpu.data import setup as data_setup
+
+        data_setup.main(processed_dir=store, raw_dir=store / "raw",
+                        synthetic_scale=scale, only=["Cora"])
+    return store
+
+
+def run_cell(aggregation: str, store: Path, out_root: Path, epochs: int
+             ) -> dict:
+    run = f"Cora_NC_full_finetune_b1_42"
+    cmd = [sys.executable, "run_finetune.py",
+           "--domain_name", "Cora_NC", "--finetune_strategy", "full_finetune",
+           "--pretrained_scheme", "b1", "--seed", "42",
+           "--aggregation", aggregation, "--no_wandb",
+           "--processed_dir", str(store),
+           "--out_root", str(out_root / aggregation),
+           "--epochs", str(epochs)]
+    print("+", " ".join(cmd), flush=True)
+    t0 = time.time()
+    subprocess.run(cmd, cwd=REPO, check=True)
+    wall = time.time() - t0
+    summary = json.loads(
+        (out_root / aggregation / "metrics" / config.FINETUNE_PROJECT_NAME
+         / f"{run}.summary.json").read_text())
+    keep = {k: v for k, v in summary.items() if k.startswith("test/")}
+    keep["wall_seconds"] = round(wall, 1)
+    return keep
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--scale", type=float, default=6.0)
+    p.add_argument("--epochs", type=int, default=200,
+                   help="production Cora_NC fidelity is 200")
+    p.add_argument("--out_root", type=str,
+                   default=str(config.OUTPUT_DIR / "csr_cell"))
+    args = p.parse_args()
+
+    store = ensure_store(args.scale)
+    out_root = Path(args.out_root)
+
+    import numpy as np
+
+    npz = np.load(store / "Cora_NC.npz", allow_pickle=True)
+    n_nodes = int(npz["node_features"].shape[0])
+
+    report = {"scale": args.scale, "num_nodes": n_nodes,
+              "epochs": args.epochs, "cell": "Cora_NC_full_finetune_b1_42",
+              "runs": {}}
+    for agg in ("csr", "coo"):
+        report["runs"][agg] = run_cell(agg, store, out_root, args.epochs)
+
+    csr = report["runs"]["csr"].get("test/edges_per_sec")
+    coo = report["runs"]["coo"].get("test/edges_per_sec")
+    if csr and coo:
+        report["csr_vs_coo_edges_per_sec"] = round(csr / coo, 3)
+    RESULTS.parent.mkdir(parents=True, exist_ok=True)
+    RESULTS.write_text(json.dumps(report, indent=2) + "\n")
+    print(json.dumps(report, indent=2))
+    print(f"wrote {RESULTS}")
+
+
+if __name__ == "__main__":
+    main()
