@@ -18,6 +18,7 @@ step compiles exactly once per loader.
 from __future__ import annotations
 
 import dataclasses
+from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -104,7 +105,7 @@ class BalancedMultiDomainSampler:
 
 def create_pretrain_train_loader(domains: Sequence[str], rng: np.random.Generator,
                                  processed_dir=None) -> BalancedMultiDomainSampler:
-    processed_dir = processed_dir or config.PROCESSED_DIR
+    processed_dir = Path(processed_dir) if processed_dir else config.PROCESSED_DIR
     stores = {d: GraphStore.load(processed_dir / f"{d}.npz") for d in domains}
     return BalancedMultiDomainSampler(stores, rng)
 
@@ -113,7 +114,7 @@ def create_pretrain_val_loader(domain: str, processed_dir=None,
                                batch_size: int = config.PRETRAIN_BATCH_SIZE
                                ) -> List[GraphBatch]:
     """Unshuffled val batches with graph properties attached (precomputed)."""
-    processed_dir = processed_dir or config.PROCESSED_DIR
+    processed_dir = Path(processed_dir) if processed_dir else config.PROCESSED_DIR
     store = GraphStore.load(processed_dir / f"{domain}.npz")
     idx = np.asarray(store.splits["val"], np.int64)
     n_pad, e_pad = _batch_pads(store, idx, batch_size)
@@ -178,7 +179,7 @@ def _single_graph_batch(store: GraphStore,
 
 def create_finetune_arrays(domain_name: str, split: str, batch_size: int,
                            processed_dir=None):
-    processed_dir = processed_dir or config.PROCESSED_DIR
+    processed_dir = Path(processed_dir) if processed_dir else config.PROCESSED_DIR
     store = GraphStore.load(processed_dir / f"{domain_name}.npz")
     task_type = config.TASK_TYPES[domain_name]
 

@@ -492,8 +492,8 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
             train_step, eval_step = make_gc_steps_data_parallel(
                 dp_model, cfg, optimizer, labels, mesh)
             store = GraphStore.load(
-                (processed_dir or config.PROCESSED_DIR)
-                / f"{cfg.domain_name}.npz")
+                (Path(processed_dir) if processed_dir
+                 else config.PROCESSED_DIR) / f"{cfg.domain_name}.npz")
             stacked = {split: build_sharded_gc_batches(
                 store, split, cfg.batch_size, n_dev)
                 for split in ("train", "val", "test")}

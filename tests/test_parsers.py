@@ -199,3 +199,63 @@ class TestGoldenPlanetoid:
         nc = stores["Cora_NC"]
         rs = nc.node_features.sum(1)
         assert (rs <= 1.0 + 1e-5).all()
+
+
+class TestGoldenEndToEnd:
+    """data/setup.py::main end-to-end on the authentic-byte-layout fixtures
+    (VERDICT r3 #6): the exact pipeline a user runs after dropping raw files
+    into data/raw — PyG-nested layout, setup.main, serialized GraphStores —
+    re-asserting the split/property/LP-negative goldens through the
+    save/load roundtrip."""
+
+    @pytest.fixture(scope="class")
+    def stores(self):
+        import shutil
+
+        from gnn_pretraining_tpu.data import setup as data_setup
+        from gnn_pretraining_tpu.data.batch import GraphStore
+
+        tmp = pathlib.Path(tempfile.mkdtemp())
+        raw = tmp / "raw"
+        # the nested <root>/<name>/raw/ layout a real download produces
+        tu = raw / "ENZYMES" / "raw"
+        tu.mkdir(parents=True)
+        for f in (FIXTURES / "tu_raw").iterdir():
+            shutil.copy(f, tu / f.name)
+        pl = raw / "Cora" / "raw"
+        pl.mkdir(parents=True)
+        for f in (FIXTURES / "planetoid_raw").iterdir():
+            shutil.copy(f, pl / f.name)
+
+        processed = tmp / "processed"
+        data_setup.main(processed_dir=processed, raw_dir=raw,
+                        only=["ENZYMES", "Cora"])
+        return {p.stem: GraphStore.load(p)
+                for p in sorted(processed.glob("*.npz"))}
+
+    def test_sources_are_raw(self, stores):
+        assert set(stores) == {"ENZYMES", "Cora_NC", "Cora_LP"}
+        for s in stores.values():
+            assert s.meta["source"] == "raw", s.name
+
+    def test_tu_goldens_survive_roundtrip(self, stores):
+        store = stores["ENZYMES"]
+        np.testing.assert_array_equal(
+            sorted(store.splits["val"].tolist()), [6, 15, 29])
+        np.testing.assert_array_equal(
+            sorted(store.splits["test"].tolist()), [5, 12, 24])
+        assert store.node_features.min() >= -3.0
+        assert store.node_features.max() <= 3.0
+        np.testing.assert_allclose(
+            store.graph_properties[0],
+            [1.351691, 1.194792, -1.416671, 0.610796, 0.803358, 0.845154,
+             -1.510438, -1.444856, 0.0, 0.845154, -0.150188, 0.542266],
+            atol=1e-4)
+
+    def test_lp_goldens_survive_roundtrip(self, stores):
+        lp = stores["Cora_LP"].splits
+        assert lp["train_pos"].shape == (2, 44)
+        np.testing.assert_array_equal(
+            lp["val_pos"], [[2, 10, 13, 18, 11], [3, 1, 3, 16, 19]])
+        np.testing.assert_array_equal(
+            lp["val_neg"], [[1, 9, 1, 4, 15], [16, 18, 14, 1, 16]])
