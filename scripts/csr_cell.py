@@ -43,6 +43,13 @@ def ensure_store(scale: float) -> Path:
 def run_cell(aggregation: str, store: Path, out_root: Path, epochs: int
              ) -> dict:
     run = f"Cora_NC_full_finetune_b1_42"
+    done = (out_root / aggregation / "metrics" / config.FINETUNE_PROJECT_NAME
+            / f"{run}.summary.json")
+    if done.exists():  # resume: a relay stall killed the other leg mid-run
+        summary = json.loads(done.read_text())
+        if summary.get("fidelity/completed"):
+            print(f"  {aggregation}: already complete, reusing {done}")
+            return {k: v for k, v in summary.items() if k.startswith("test/")}
     cmd = [sys.executable, "run_finetune.py",
            "--domain_name", "Cora_NC", "--finetune_strategy", "full_finetune",
            "--pretrained_scheme", "b1", "--seed", "42",
