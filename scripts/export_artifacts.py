@@ -126,12 +126,15 @@ def export_serving_artifacts(out_root: Path, manifest: dict) -> int:
             example, platforms=("tpu", "cpu"))
         dst = config.ARTIFACTS_DIR / "serving" / f"{domain}_{scheme}.stablehlo"
         serving.save_artifact(dst, blob)
-        manifest[str(dst.relative_to(config.ARTIFACTS_DIR))] = {
+        entry = {
             "sha256": _sha256(dst), "bytes": dst.stat().st_size,
             "source": str(src),
             "bucket": {"num_nodes": int(example["x"].shape[0]),
                        "num_edges": int(example["senders"].shape[0])},
         }
+        if task_type == "link_prediction":
+            entry["score_edges"] = int(example["score_senders"].shape[0])
+        manifest[str(dst.relative_to(config.ARTIFACTS_DIR))] = entry
         print(f"  {dst.name}: {dst.stat().st_size / 1e6:.2f} MB")
         n += 1
     return n

@@ -141,3 +141,40 @@ class TestTrackedArtifacts:
         res = finetune(cfg, processed_dir=processed_dir, use_wandb=False,
                        out_root=tmp_path / "out", epochs=2)
         assert 0.0 <= res["test/accuracy"] <= 1.0
+
+
+TRACKED_SERVING = sorted((config.ARTIFACTS_DIR / "serving").glob("*.stablehlo")) \
+    if (config.ARTIFACTS_DIR / "serving").exists() else []
+
+
+@pytest.mark.skipif(not TRACKED_SERVING, reason="no tracked serving artifacts "
+                    "yet (populated by scripts/export_artifacts.py)")
+class TestTrackedServingArtifacts:
+    def test_replay_on_cpu(self):
+        """Every tracked .stablehlo loads and executes on the CPU backend
+        with finite outputs at its manifest-recorded bucket shape (the
+        cross-platform lowering includes cpu, serving.py:111-138)."""
+        from gnn_pretraining_tpu import serving
+
+        manifest = json.loads(
+            (config.ARTIFACTS_DIR / "MANIFEST.json").read_text())
+        for path in TRACKED_SERVING:
+            rel = str(path.relative_to(config.ARTIFACTS_DIR))
+            bucket = manifest[rel]["bucket"]
+            n, e = bucket["num_nodes"], bucket["num_edges"]
+            domain = path.stem.rsplit("_", 1)[0]
+            served = serving.load_artifact(path)
+            rng = np.random.default_rng(0)
+            args = [jnp.asarray(rng.normal(size=(n, config.DOMAIN_DIMENSIONS[
+                        domain])).astype(np.float32)),
+                    jnp.ones(n, jnp.float32),
+                    jnp.zeros(e, jnp.int32), jnp.zeros(e, jnp.int32),
+                    jnp.ones(e, jnp.float32)]
+            task = config.TASK_TYPES[domain]
+            if task == "graph_classification":
+                args.append(jnp.zeros(n, jnp.int32))
+            elif task == "link_prediction":
+                k = manifest[rel].get("score_edges", 256)
+                args += [jnp.zeros(k, jnp.int32), jnp.zeros(k, jnp.int32)]
+            out = np.asarray(served(*args))
+            assert np.isfinite(out).all(), rel
