@@ -41,6 +41,7 @@ echo "=== analysis $(date -u +%FT%TZ) ==="
 python analysis/data_collection.py
 python analysis/data_analysis.py
 python scripts/parity_report.py
+python scripts/sweep_report.py
 
 # Distil the sweep into tracked durable artifacts (VERDICT r3 #2): fp16
 # transfer backbones for every scheme at seed 42 + one serving StableHLO per
