@@ -217,3 +217,49 @@ class TestMergeResults:
         empty = pd.DataFrame()
         assert collection.merge_results(frame, empty).equals(frame)
         assert collection.merge_results(empty, frame).equals(frame)
+
+
+scaling = _load("ps", ROOT / "scripts" / "project_scaling.py")
+
+
+class TestScalingProjection:
+    """Invariants of the ICI scaling model (VERDICT r3 #5): the projection
+    must be a valid efficiency (0 < eff <= 1), overlap must dominate
+    no-overlap, and byte volumes must come from the real partition plan."""
+
+    def _project(self, n=512, e=2048, seed=0):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(0, n, e).astype(np.int32)
+        r = rng.integers(0, n, e).astype(np.int32)
+        return scaling.project("toy", n, s, r, 1e8, "coo")
+
+    def test_structure_and_bounds(self):
+        w = self._project()
+        assert set(w["per_device"]) == {"2", "4", "8"}
+        for d, row in w["per_device"].items():
+            assert row["halo_bytes_per_layer"] > 0
+            assert row["psum_bytes_per_layer"] > 0
+            for strat in ("node_halo", "edge_psum"):
+                eff = row[strat]
+                assert 0 < eff["eff_no_overlap"] <= eff["eff_overlap"] <= 1.0
+                # comm time is consistent with the published model
+                assert eff["t_comm_us"] > 0 and eff["t_local_us"] > 0
+
+    def test_psum_bytes_partition_independent(self):
+        # Edge-partition psums the full [N, F] partials: bytes depend only
+        # on (N, F, n_dev), never on the edge cut.
+        w = self._project(seed=1)
+        n = w["num_nodes"]
+        for d, row in w["per_device"].items():
+            d = int(d)
+            assert row["psum_bytes_per_layer"] >= n * scaling.F  # >= N*F*1B
+
+    def test_perfect_overlap_compute_bound_is_linear(self):
+        # If comm fully hides under compute, overlap efficiency is exactly
+        # t1 / (d * t_local) = 1 by construction of t_local = t1/d.
+        w = self._project()
+        for row in w["per_device"].values():
+            for strat in ("node_halo", "edge_psum"):
+                eff = row[strat]
+                if eff["t_comm_us"] <= eff["t_local_us"]:
+                    assert eff["eff_overlap"] == 1.0
