@@ -18,11 +18,19 @@ from gnn_pretraining_tpu.utils.runtime import (
     maybe_clear_caches,
     maybe_init_distributed,
     setup_jax,
+    write_pidfile,
 )
 from gnn_pretraining_tpu.finetune.finetune import finetune
 
 
-from run_pretrain import metrics_root, shard_grid  # noqa: E402 — shared CLI helpers
+from run_pretrain import (  # noqa: E402 — shared CLI helpers
+    add_sweep_args,
+    common_child_flags,
+    metrics_root,
+    run_isolated,
+    shard_grid,
+    slice_grid,
+)
 
 
 def cell_completed(cfg, args) -> bool:
@@ -69,8 +77,20 @@ def full_grid() -> List[Tuple[str, str, str, int]]:
             for seed in config.SEEDS]
 
 
-def run_grid(grid, args) -> None:
-    grid = shard_grid(grid, args)
+def run_grid(grid, args):
+    grid = slice_grid(shard_grid(grid, args), args)
+    if getattr(args, "isolate", 0):
+        flags = common_child_flags(args)
+        if args.processed_dir:
+            flags += ["--processed_dir", str(args.processed_dir)]
+        def incomplete(cell):
+            cfg = config.FinetuneConfig(domain_name=cell[0],
+                                        finetune_strategy=cell[1],
+                                        pretrained_scheme=cell[2],
+                                        seed=cell[3])
+            return None if cell_completed(cfg, args) else cfg.run_name
+        return run_isolated("run_finetune.py", grid, args, flags, incomplete)
+    write_pidfile()  # lets bench/chip_check reclaim the exclusive chip
     print(f"Fine-tuning sweep: {len(grid)} runs (shard "
           f"{args.shard_index}/{args.num_shards})")
     failed = []
@@ -108,6 +128,7 @@ def run_grid(grid, args) -> None:
         print(f"\n{len(failed)} failed runs: {failed}")
     else:
         print("\nAll runs completed.")
+    return failed
 
 
 def main() -> None:
@@ -125,8 +146,7 @@ def main() -> None:
     parser.add_argument("--aggregation", type=str, default="pallas",
                         choices=["dense", "pallas", "coo", "csr"])
     parser.add_argument("--no_wandb", action="store_true")
-    parser.add_argument("--shard_index", type=int, default=None)
-    parser.add_argument("--num_shards", type=int, default=0)
+    add_sweep_args(parser)
     parser.add_argument("--processed_dir", type=str, default=None,
                         help="alternate processed-data store (e.g. a scaled "
                              "synthetic store for the 16k-node CSR cell)")
@@ -138,10 +158,12 @@ def main() -> None:
     args = parser.parse_args()
 
     if args.sweep:
-        run_grid(full_grid(), args)
+        if run_grid(full_grid(), args):
+            raise SystemExit(2)
     elif args.domain_sweep:
         grid = [c for c in full_grid() if c[0] == args.domain_sweep]
-        run_grid(grid, args)
+        if run_grid(grid, args):
+            raise SystemExit(2)
     else:
         if not all((args.domain_name, args.finetune_strategy,
                     args.pretrained_scheme)) or args.seed is None:

@@ -29,12 +29,21 @@ if [ ! -f data/processed/Cora_NC.npz ]; then
     python -m gnn_pretraining_tpu.data.setup
 fi
 
+# --isolate N bounds host RSS by running the grid as N-cell child processes
+# (jax.clear_caches does not return pages to the OS; the in-process pretrain
+# phase was kernel-OOM-killed at 130 GB on cell 21/24). Chunk sizes align
+# with program reuse: 3 = one scheme (seeds share every compiled program),
+# 54 = one fine-tune domain. A phase that exits nonzero (a killed child, an
+# incomplete grid) aborts the pass — the watchdog relaunches it and --resume
+# converges — instead of cascading into the next phase with holes.
 echo "=== pretrain sweep start $(date -u +%FT%TZ) epoch=$(date +%s) ==="
-python run_pretrain.py --sweep --resume --no_wandb
+python run_pretrain.py --sweep --resume --no_wandb --isolate 3 \
+    || { echo "=== pretrain phase incomplete (rc=$?) — aborting pass ==="; exit 1; }
 echo "=== pretrain sweep end $(date -u +%FT%TZ) epoch=$(date +%s) ==="
 
 echo "=== finetune sweep start $(date -u +%FT%TZ) epoch=$(date +%s) ==="
-python run_finetune.py --sweep --resume --no_wandb
+python run_finetune.py --sweep --resume --no_wandb --isolate 54 \
+    || { echo "=== finetune phase incomplete (rc=$?) — aborting pass ==="; exit 1; }
 echo "=== finetune sweep end $(date -u +%FT%TZ) epoch=$(date +%s) ==="
 
 echo "=== analysis $(date -u +%FT%TZ) ==="

@@ -29,6 +29,16 @@ driver_cpu() {
     ps -eo cputimes,args | awk '/run_(pretrain|finetune)\.py|data_collection|data_analysis|export_artifacts/ && !/awk/ {s+=$1} END {print s+0}'
 }
 
+kill_tree() {
+    # Depth-first kill of $1's descendants, then $1, by exact PID walk —
+    # never by pattern. With --isolate the trainer is a grandchild of the
+    # wrapper (wrapper → python parent → isolate child); killing only the
+    # direct child would orphan the trainer, which keeps the exclusive chip.
+    local sig=$2 c
+    for c in $(pgrep -P "$1" 2>/dev/null); do kill_tree "$c" "$sig"; done
+    kill "$sig" "$1" 2>/dev/null
+}
+
 while true; do
   if [ -n "$ADOPT" ] && kill -0 "$ADOPT" 2>/dev/null; then
     PID=$ADOPT
@@ -48,11 +58,9 @@ while true; do
     CPU_PREV=$CPU_NOW
     if [ "$AGE" -gt "$STALE" ] && [ "$CPU_DELTA" -lt "$CPUMIN" ]; then
       echo "watchdog: log stale ${AGE}s and driver CPU frozen (+${CPU_DELTA}s/60s) — restarting sweep $(date -u +%FT%TZ)"
-      pkill -P "$PID"        # the wrapper's direct child (the python driver)
-      kill "$PID" 2>/dev/null
+      kill_tree "$PID" -TERM
       sleep 5
-      pkill -9 -P "$PID" 2>/dev/null
-      kill -9 "$PID" 2>/dev/null
+      kill_tree "$PID" -9
       break
     fi
   done

@@ -135,3 +135,73 @@ class TestResumeLpSweepPlan:
         deps = dict(((s, seed), d) for s, seed, d in chunks)
         assert len(deps[("b3", 84)]) == 2
         assert len(deps[("b3", 42)]) == 3
+
+
+class TestIsolateOrchestrator:
+    """--isolate chunking (the OOM fix): chunk skipping on resume, child
+    command construction, and incomplete-grid failure signalling."""
+
+    def _args(self, **kw):
+        base = dict(isolate=2, resume=True, no_wandb=True, epochs=None,
+                    out_root=None, num_shards=0, shard_index=None,
+                    aggregation="pallas", grid_start=0, grid_count=0)
+        base.update(kw)
+        return types.SimpleNamespace(**base)
+
+    def test_slice_after_shard(self):
+        grid = list(range(10))
+        args = self._args(grid_start=4, grid_count=3)
+        assert run_pretrain.slice_grid(grid, args) == [4, 5, 6]
+        args = self._args()                      # no slice flags -> identity
+        assert run_pretrain.slice_grid(grid, args) == grid
+
+    def test_isolate_parent_never_probes_jax(self):
+        # No shard flags + isolate: shard_grid must not touch the backend.
+        grid = [("b2", 42)]
+        args = self._args()
+        assert run_pretrain.shard_grid(grid, args) == grid
+
+    def test_complete_chunks_skip_children(self, monkeypatch):
+        calls = []
+        monkeypatch.setattr(run_pretrain.subprocess, "call",
+                            lambda cmd: calls.append(cmd) or 0)
+        done = {"a", "b", "c", "d"}
+        run_pretrain.run_isolated(
+            "run_pretrain.py", ["a", "b", "c", "d"], self._args(),
+            ["--sweep"], lambda c: None if c in done else c)
+        assert calls == []                       # everything already done
+
+    def test_children_get_slices_and_failure_raises(self, monkeypatch):
+        calls = []
+        done = set()
+
+        def fake_call(cmd):
+            calls.append(cmd)
+            i = cmd.index("--grid_start")
+            start, count = int(cmd[i + 1]), int(cmd[i + 3])
+            # first child "completes" its cells; second child dies
+            if start == 0:
+                done.update(["a", "b"])
+                return 0
+            return -9
+
+        monkeypatch.setattr(run_pretrain.subprocess, "call", fake_call)
+        import pytest
+        with pytest.raises(SystemExit) as e:
+            run_pretrain.run_isolated(
+                "run_pretrain.py", ["a", "b", "c", "d"], self._args(),
+                ["--sweep"], lambda c: None if c in done else c)
+        assert e.value.code == 1                 # c, d still incomplete
+        assert len(calls) == 2
+        assert calls[0][-4:] == ["--grid_start", "0", "--grid_count", "2"]
+        assert calls[1][-4:] == ["--grid_start", "2", "--grid_count", "2"]
+
+    def test_child_flags_forward_fidelity(self):
+        args = self._args(epochs=50, out_root="/tmp/x", resume=True,
+                          num_shards=2, shard_index=1)
+        flags = run_pretrain.common_child_flags(args)
+        assert "--resume" in flags and "--no_wandb" in flags
+        assert flags[flags.index("--epochs") + 1] == "50"
+        assert flags[flags.index("--out_root") + 1] == "/tmp/x"
+        assert flags[flags.index("--num_shards") + 1] == "2"
+        assert flags[flags.index("--aggregation") + 1] == "pallas"
