@@ -54,6 +54,14 @@ SERVING_CELLS = (
     ("Cora_LP", "full_finetune", "b2", 42),
 )
 
+# Representation serving straight from a *pretrain* checkpoint (no fine-tune
+# needed): encoder + backbone -> [N, 256] node embeddings via the transfer
+# contract. Only ENZYMES has a transferred encoder
+# (models/finetune_model.py:76-93), so that is the embed domain.
+EMBED_CELLS = (
+    ("ENZYMES", "b2", 42),
+)
+
 
 def _sha256(path: Path) -> str:
     h = hashlib.sha256()
@@ -140,6 +148,58 @@ def export_serving_artifacts(out_root: Path, manifest: dict) -> int:
     return n
 
 
+def export_embed_artifacts(out_root: Path, manifest: dict) -> int:
+    """Embedding serving exports from pretrain checkpoints (available as soon
+    as the pretrain phase finishes a scheme, long before any fine-tune cell).
+    Mirrors scripts/export_model.py's --embed route: fresh finetune init,
+    then the transfer contract fills encoder + backbone + BN stats."""
+    from gnn_pretraining_tpu.data.loaders import create_finetune_arrays
+    from gnn_pretraining_tpu.models.finetune_model import (
+        load_pretrained_into_finetune,
+    )
+
+    n = 0
+    for domain, scheme, seed in EMBED_CELLS:
+        src = out_root / "pretrain" / f"model_{scheme}_{seed}.msgpack"
+        if not src.exists():
+            print(f"  skip embed {scheme}_{seed}: {src} missing")
+            continue
+        data = create_finetune_arrays(domain, "test",
+                                      config.FINETUNE_BATCH_SIZES[domain])
+        b = data.batches[0]
+        example = {
+            "x": np.asarray(b.x, np.float32),
+            "node_mask": np.asarray(b.node_mask, np.float32),
+            "senders": np.asarray(b.senders, np.int32),
+            "receivers": np.asarray(b.receivers, np.int32),
+            "edge_mask": np.asarray(b.edge_mask, np.float32),
+        }
+        ckpt = load_checkpoint(src)
+        model = FinetuneGNN(domain_name=domain, aggregation="coo")
+        ft_vars = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            example["x"], example["node_mask"], False,
+            senders=example["senders"], receivers=example["receivers"],
+            edge_mask=example["edge_mask"], method=model.embed)
+        variables = load_pretrained_into_finetune(ft_vars, ckpt, domain)
+        blob = serving.export_serving(model, variables, example,
+                                      platforms=("tpu", "cpu"),
+                                      embed_only=True)
+        dst = (config.ARTIFACTS_DIR / "serving"
+               / f"{domain}_embed_{scheme}.stablehlo")
+        serving.save_artifact(dst, blob)
+        manifest[str(dst.relative_to(config.ARTIFACTS_DIR))] = {
+            "sha256": _sha256(dst), "bytes": dst.stat().st_size,
+            "source": str(src), "domain": domain, "embed": True,
+            "bucket": {"num_nodes": int(example["x"].shape[0]),
+                       "num_edges": int(example["senders"].shape[0])},
+        }
+        print(f"  {dst.name}: {dst.stat().st_size / 1e6:.2f} MB (embeddings)")
+        n += 1
+    return n
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--seeds", type=int, nargs="+", default=[42])
@@ -160,6 +220,7 @@ def main() -> None:
     if not args.no_serving:
         print("serving artifacts:")
         ns = export_serving_artifacts(out_root, manifest)
+        ns += export_embed_artifacts(out_root, manifest)
 
     config.ARTIFACTS_DIR.mkdir(parents=True, exist_ok=True)
     manifest_path.write_text(json.dumps(manifest, indent=2, sort_keys=True)

@@ -160,9 +160,10 @@ class TestTrackedServingArtifacts:
             (config.ARTIFACTS_DIR / "MANIFEST.json").read_text())
         for path in TRACKED_SERVING:
             rel = str(path.relative_to(config.ARTIFACTS_DIR))
-            bucket = manifest[rel]["bucket"]
+            entry = manifest[rel]
+            bucket = entry["bucket"]
             n, e = bucket["num_nodes"], bucket["num_edges"]
-            domain = path.stem.rsplit("_", 1)[0]
+            domain = entry.get("domain", path.stem.rsplit("_", 1)[0])
             served = serving.load_artifact(path)
             rng = np.random.default_rng(0)
             args = [jnp.asarray(rng.normal(size=(n, config.DOMAIN_DIMENSIONS[
@@ -171,10 +172,14 @@ class TestTrackedServingArtifacts:
                     jnp.zeros(e, jnp.int32), jnp.zeros(e, jnp.int32),
                     jnp.ones(e, jnp.float32)]
             task = config.TASK_TYPES[domain]
-            if task == "graph_classification":
+            if entry.get("embed"):
+                pass  # embeddings take the bare 5-array graph signature
+            elif task == "graph_classification":
                 args.append(jnp.zeros(n, jnp.int32))
             elif task == "link_prediction":
-                k = manifest[rel].get("score_edges", 256)
+                k = entry.get("score_edges", 256)
                 args += [jnp.zeros(k, jnp.int32), jnp.zeros(k, jnp.int32)]
             out = np.asarray(served(*args))
             assert np.isfinite(out).all(), rel
+            if entry.get("embed"):
+                assert out.shape == (n, config.GNN_HIDDEN_DIM), rel
