@@ -229,13 +229,15 @@ def main() -> None:
     import jax.numpy as jnp
 
     from gnn_pretraining_tpu.utils.runtime import (
+        acquire_chip,
         fail_fast_backend_init,
-        reclaim_chip,
         setup_jax,
     )
 
     setup_jax()
-    reclaim_chip()  # the TPU is exclusive; stop a recorded background sweep
+    # The TPU is exclusive; ask a recorded background sweep to yield at its
+    # next chunk boundary (hard reclaim only as a timeout fallback).
+    acquire_chip()
     fail_fast_backend_init()
     # The flagship Cora SpMM metric prints LAST: harnesses that keep a single
     # JSON line from the output take the final one.

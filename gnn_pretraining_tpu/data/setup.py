@@ -120,7 +120,9 @@ def process_tu_dataset(name: str, raw_dir: Path, synthetic_scale: float = 1.0,
                       splits=splits, graph_properties=props,
                       meta={"source": source,
                             "scale": str(synthetic_scale if source == "synthetic"
-                                         else 1.0)})
+                                         else 1.0),
+                            "homophily": str(synthetic_homophily
+                                             if source == "synthetic" else 0.0)})
 
 
 def _create_link_prediction_splits(edge_index: np.ndarray, num_nodes: int,

@@ -28,7 +28,7 @@ def data_fidelity(processed_dir: Optional[Path],
     import numpy as np
 
     processed_dir = Path(processed_dir or config.PROCESSED_DIR)
-    sources, scales = set(), set()
+    sources, scales, homs = set(), set(), set()
     for d in domains:
         path = processed_dir / f"{d}.npz"
         try:
@@ -37,12 +37,22 @@ def data_fidelity(processed_dir: Optional[Path],
                             else "unknown")
                 scales.add(float(z["meta__scale"]) if "meta__scale" in z.files
                            else -1.0)
+                homs.add(float(z["meta__homophily"])
+                         if "meta__homophily" in z.files else 0.0)
         except FileNotFoundError:
             sources.add("missing")
             scales.add(-1.0)
+            homs.add(-1.0)
     source = sources.pop() if len(sources) == 1 else "mixed"
     scale = scales.pop() if len(scales) == 1 else -1.0
-    return {"data_source": source, "synthetic_scale": scale}
+    # Feature-calibration provenance (nfm_probe.md): iid (0.0) vs
+    # neighbor-correlated (>0) synthetic TU features produce different
+    # pretraining outcomes, so a marker from one calibration must never
+    # satisfy --resume under the other. Planetoid stores carry no homophily
+    # (the generator never smooths them) and report 0.0.
+    hom = homs.pop() if len(homs) == 1 else -1.0
+    return {"data_source": source, "synthetic_scale": scale,
+            "calibration": hom}
 
 
 def fidelity_block(epochs: int, seed: int, aggregation: str,
@@ -56,6 +66,7 @@ def fidelity_block(epochs: int, seed: int, aggregation: str,
         "fidelity/aggregation": aggregation,
         "fidelity/data_source": d["data_source"],
         "fidelity/synthetic_scale": d["synthetic_scale"],
+        "fidelity/calibration": d["calibration"],
         "fidelity/completed": 1,
     }
 
@@ -77,7 +88,8 @@ def cell_completed(summary_path: Path, expected: Dict[str, object]) -> bool:
     if not s.get("fidelity/completed"):
         return False
     for k in ("fidelity/epochs", "fidelity/aggregation",
-              "fidelity/data_source", "fidelity/synthetic_scale"):
+              "fidelity/data_source", "fidelity/synthetic_scale",
+              "fidelity/calibration"):
         if s.get(k) != expected.get(k):
             return False
     return True

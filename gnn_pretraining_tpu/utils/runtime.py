@@ -72,6 +72,122 @@ def write_pidfile(path: Path = SWEEP_PIDFILE) -> None:
     atexit.register(lambda: path.unlink(missing_ok=True))
 
 
+PAUSE_FILE = Path("/tmp/gnn_sweep.pause")
+PAUSED_FILE = Path("/tmp/gnn_sweep.paused")
+
+
+def honor_pause(where: str = "chunk boundary") -> None:
+    """Park a sweep *orchestrator* (a process that holds no TPU backend)
+    while a chip-exclusive job has requested the chip via ``acquire_chip``.
+
+    Called between ``--isolate`` chunks: no child process is alive there, so
+    the relay slot is genuinely free for the requester. Acknowledges via
+    ``PAUSED_FILE`` and waits until the request clears. A request whose
+    owner died without cleaning up (bench crashed mid-run) is detected by
+    PID+starttime identity and discarded — the sweep can never deadlock on a
+    stale pause file. Prints a heartbeat each minute so the log-staleness
+    watchdog does not mistake a parked sweep for a hung one."""
+    import time
+
+    def _requester_alive() -> bool:
+        try:
+            fields = PAUSE_FILE.read_text().split()
+            pid, start = int(fields[0]), int(fields[1])
+        except (OSError, ValueError, IndexError):
+            return False
+        stat = _proc_stat(pid)
+        return stat is not None and stat[1] == start
+
+    if not PAUSE_FILE.exists():
+        return
+    if not _requester_alive():
+        PAUSE_FILE.unlink(missing_ok=True)
+        return
+    PAUSED_FILE.write_text(f"{os.getpid()} {where}")
+    print(f"[runtime] chip pause requested — sweep parked at {where}",
+          flush=True)
+    try:
+        last_beat = time.monotonic()
+        while PAUSE_FILE.exists() and _requester_alive():
+            time.sleep(2.0)
+            if time.monotonic() - last_beat > 60.0:
+                print("[runtime] sweep still parked (chip loaned out)",
+                      flush=True)
+                last_beat = time.monotonic()
+        PAUSE_FILE.unlink(missing_ok=True)
+    finally:
+        PAUSED_FILE.unlink(missing_ok=True)
+    print("[runtime] chip returned — sweep resuming", flush=True)
+
+
+def acquire_chip(path: Path = SWEEP_PIDFILE, wait_s: float = 600.0,
+                 poll: float = 3.0) -> bool:
+    """Cooperatively take the exclusive TPU from a recorded background sweep
+    (VERDICT r4 weak #7: the old kill-based ``reclaim_chip`` SIGTERM'd a
+    trainer inside a first-execution Mosaic compile, forfeiting up to ~15 min
+    of compile work that the cache only records on completion).
+
+    Writes a pause request (PID + starttime so the sweep can detect a dead
+    requester), then waits for either (a) the orchestrator to acknowledge at
+    a chunk boundary (``PAUSED_FILE``), or (b) no recorded holder to be alive
+    for a few consecutive polls (no sweep running). Falls back to the
+    SIGTERM-based ``reclaim_chip`` only after ``wait_s`` so the end-of-round
+    bench can never block forever. Callers must ``release_chip()`` when done
+    (also registered via atexit)."""
+    import atexit
+    import time
+
+    stat = _proc_stat(os.getpid())
+    PAUSE_FILE.write_text(f"{os.getpid()} {stat[1] if stat else 0}")
+    atexit.register(release_chip)
+
+    def _holder_alive() -> bool:
+        try:
+            fields = path.read_text().split()
+            pid = int(fields[0])
+            start = int(fields[1]) if len(fields) > 1 else None
+        except (OSError, ValueError, IndexError):
+            return False
+        st = _proc_stat(pid)
+        if st is None or st[0] == "Z":
+            return False
+        return start is None or st[1] == start
+
+    consecutive_free = 0
+    deadline = time.monotonic() + wait_s
+    announced = False
+    while time.monotonic() < deadline:
+        if PAUSED_FILE.exists():
+            print("[runtime] sweep parked at a chunk boundary — chip is ours",
+                  flush=True)
+            return True
+        if _holder_alive():
+            consecutive_free = 0
+            if not announced:
+                print("[runtime] chip busy — waiting for the sweep to reach "
+                      f"a chunk boundary (≤{wait_s:.0f}s)", flush=True)
+                announced = True
+        else:
+            consecutive_free += 1
+            if consecutive_free >= 3:
+                return True
+        time.sleep(poll)
+    print(f"[runtime] sweep did not yield within {wait_s:.0f}s — falling "
+          "back to hard reclaim", flush=True)
+    reclaim_chip(path)
+    return True
+
+
+def release_chip() -> None:
+    """Clear this process's pause request so a parked sweep resumes."""
+    try:
+        fields = PAUSE_FILE.read_text().split()
+        if int(fields[0]) == os.getpid():
+            PAUSE_FILE.unlink(missing_ok=True)
+    except (OSError, ValueError, IndexError):
+        pass
+
+
 def reclaim_chip(path: Path = SWEEP_PIDFILE, wait_s: float = 30.0) -> bool:
     """Terminate the recorded sweep process (exact PID, never a pattern) so
     this process can take the exclusive TPU.

@@ -81,6 +81,12 @@ def run_grid(grid, args):
     grid = slice_grid(shard_grid(grid, args), args)
     if getattr(args, "isolate", 0):
         flags = common_child_flags(args)
+        if args.domain_sweep:
+            # Children must enumerate the SAME (filtered) grid as the parent
+            # or the --grid_start/--grid_count slices point at different
+            # cells (the parent's grid here is domain-filtered).
+            flags.remove("--sweep")
+            flags += ["--domain_sweep", args.domain_sweep]
         if args.processed_dir:
             flags += ["--processed_dir", str(args.processed_dir)]
         def incomplete(cell):

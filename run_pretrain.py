@@ -83,6 +83,8 @@ def run_isolated(script: str, grid, args, child_flags, incomplete) -> None:
     watchdog pass via ``--resume``. Exits 1 when any cell is still
     incomplete afterwards so the production wrapper aborts instead of
     cascading into the next phase with holes."""
+    from gnn_pretraining_tpu.utils.runtime import honor_pause
+
     total = len(grid)
     for start in range(0, total, args.isolate):
         count = min(args.isolate, total - start)
@@ -90,6 +92,9 @@ def run_isolated(script: str, grid, args, child_flags, incomplete) -> None:
             print(f"[isolate] cells {start + 1}-{start + count}/{total}: "
                   "all complete, skipping child", flush=True)
             continue
+        # Chunk boundary = the only moment no process holds the exclusive
+        # chip; loan it out here if bench/chip_check asked (acquire_chip).
+        honor_pause(f"cells {start + 1}-{start + count}")
         cmd = [sys.executable, str(Path(__file__).parent / script),
                *child_flags,
                "--grid_start", str(start), "--grid_count", str(count)]

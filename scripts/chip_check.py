@@ -43,13 +43,15 @@ def main():
     import jax.numpy as jnp
 
     from gnn_pretraining_tpu.utils.runtime import (
+        acquire_chip,
         fail_fast_backend_init,
-        reclaim_chip,
         setup_jax,
     )
 
     setup_jax()
-    reclaim_chip()  # the TPU is exclusive; stop a recorded background sweep
+    # The TPU is exclusive; ask a recorded background sweep to yield at its
+    # next chunk boundary (hard reclaim only as a timeout fallback).
+    acquire_chip()
     fail_fast_backend_init()
     print("backend:", jax.default_backend(), flush=True)
     if jax.default_backend() != "tpu":

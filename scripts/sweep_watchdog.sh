@@ -64,8 +64,8 @@ while true; do
       break
     fi
   done
-  if grep -q "=== done" "$LOG" 2>/dev/null; then
-    echo "watchdog: sweep pipeline complete $(date -u +%FT%TZ)"
+  if grep -q "=== LP stretch done" "$LOG" 2>/dev/null; then
+    echo "watchdog: sweep pipeline complete incl. LP stretch $(date -u +%FT%TZ)"
     exit 0
   fi
   echo "watchdog: sweep wrapper exited or was restarted; relaunching in 30s"
