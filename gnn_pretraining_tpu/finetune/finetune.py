@@ -393,6 +393,7 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
              processed_dir=None, use_wandb: bool = True,
              epochs: Optional[int] = None,
              edge_parallel: bool = False,
+             node_parallel: bool = False,
              data_parallel: bool = False,
              out_root=None, fused: bool = True,
              chunk_epochs: int = 32) -> Dict[str, float]:
@@ -458,7 +459,7 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
     # Default single-chip path: scan-fused epoch runner (one dispatch per
     # E-epoch chunk — see finetune/runners.py). The per-step dispatch paths
     # below remain for the data-/edge-parallel modes.
-    if fused and not (edge_parallel or data_parallel):
+    if fused and not (edge_parallel or node_parallel or data_parallel):
         from gnn_pretraining_tpu.finetune.runners import run_finetune_fused
 
         ckpt_path = finetune_out_dir / f"model_{cfg.run_name}.msgpack"
@@ -518,7 +519,17 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
                     yield ("gc", b)
     elif cfg.task_type == "node_classification":
         g = data["train"].graph
-        if edge_parallel and len(jax.devices()) > 1:
+        if node_parallel and len(jax.devices()) > 1:
+            from gnn_pretraining_tpu.finetune.node_parallel import (
+                make_nc_steps_node_parallel,
+            )
+            from gnn_pretraining_tpu.parallel.mesh import make_mesh
+
+            n_dev = len(jax.devices())
+            mesh = make_mesh(n_data=1, n_edge=n_dev)
+            train_step, eval_step = make_nc_steps_node_parallel(
+                cfg, optimizer, labels, g, mesh, n_dev)
+        elif edge_parallel and len(jax.devices()) > 1:
             from gnn_pretraining_tpu.finetune.edge_parallel import (
                 make_nc_steps_edge_parallel,
             )
@@ -562,7 +573,17 @@ def finetune(cfg: config.FinetuneConfig, aggregation: str = "dense",
         n_cand = candidate_count(g.num_nodes, train_edges,
                                  num_real_nodes=real_n)
         num_hard = hard_count(n_cand, cfg.batch_size)
-        if edge_parallel and len(jax.devices()) > 1:
+        if node_parallel and len(jax.devices()) > 1:
+            from gnn_pretraining_tpu.finetune.node_parallel import (
+                make_lp_steps_node_parallel,
+            )
+            from gnn_pretraining_tpu.parallel.mesh import make_mesh
+
+            n_dev = len(jax.devices())
+            mesh = make_mesh(n_data=1, n_edge=n_dev)
+            train_step, eval_step = make_lp_steps_node_parallel(
+                cfg, optimizer, labels, g, mesh, n_dev, forbidden, num_hard)
+        elif edge_parallel and len(jax.devices()) > 1:
             from gnn_pretraining_tpu.finetune.edge_parallel import (
                 make_lp_steps_edge_parallel,
             )
@@ -720,6 +741,9 @@ def main() -> None:
     parser.add_argument("--edge_parallel", action="store_true",
                         help="shard the graph's edges over all devices "
                              "(node/link tasks)")
+    parser.add_argument("--node_parallel", action="store_true",
+                        help="shard the graph's node rows over all devices "
+                             "(halo-exchange aggregation; node/link tasks)")
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard batch graphs over all devices "
                              "(graph classification)")
@@ -731,6 +755,7 @@ def main() -> None:
     result = finetune(cfg, aggregation=args.aggregation, epochs=args.epochs,
                       use_wandb=not args.no_wandb,
                       edge_parallel=args.edge_parallel,
+                      node_parallel=args.node_parallel,
                       data_parallel=args.data_parallel)
     print({k: round(v, 4) if isinstance(v, float) else v
            for k, v in result.items()})

@@ -31,11 +31,13 @@ class FinetuneGNN(nn.Module):
     axis_name: Optional[str] = None
     edge_axis: Optional[str] = None  # edge-partitioned message passing
     remat: bool = False  # per-layer jax.checkpoint in the backbone
+    aggregate_fn: Optional[Any] = None  # custom (h, eps) -> z override
 
     def setup(self):
         self.input_encoder = InputEncoder(axis_name=self.axis_name)
         self.gnn_backbone = GINBackbone(self.aggregation, self.axis_name,
-                                        self.edge_axis, remat=self.remat)
+                                        self.edge_axis, remat=self.remat,
+                                        aggregate_fn=self.aggregate_fn)
         task_type = config.TASK_TYPES[self.domain_name]
         c = config.NUM_CLASSES[self.domain_name]
         if task_type == "graph_classification":

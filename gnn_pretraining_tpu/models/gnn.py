@@ -16,7 +16,7 @@ comparable.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -95,6 +95,11 @@ class GINLayer(nn.Module):
     aggregation: str = "dense"   # "dense" | "pallas" | "coo" | "csr"
     axis_name: Optional[str] = None
     edge_axis: Optional[str] = None  # mesh axis for edge-partitioned coo
+    # Custom ``(h, eps) -> z`` aggregation override. Lets a shard_map body
+    # inject a partition-aware aggregate (e.g. the node-partitioned halo
+    # exchange, parallel/node_partition.halo_aggregate_local) while reusing
+    # the module's MLP/BN/residual stack unchanged.
+    aggregate_fn: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, node_mask, train: bool, *,
@@ -102,8 +107,11 @@ class GINLayer(nn.Module):
                  bsr=None) -> jnp.ndarray:
         # PyG GINConv(train_eps=True) starts at eps=0.
         eps = self.param("eps", nn.initializers.zeros, ())
-        z = _aggregate(h, eps, adj, senders, receivers, edge_mask,
-                       self.aggregation, self.edge_axis, bsr=bsr)
+        if self.aggregate_fn is not None:
+            z = self.aggregate_fn(h, eps)
+        else:
+            z = _aggregate(h, eps, adj, senders, receivers, edge_mask,
+                           self.aggregation, self.edge_axis, bsr=bsr)
         # The GIN MLP: 256 → 512 (+BN+ReLU) → 256.
         z = TorchLinear(2 * config.GNN_HIDDEN_DIM, name="mlp_0")(z)
         z = MaskedBatchNorm(2 * config.GNN_HIDDEN_DIM, name="mlp_bn",
@@ -131,6 +139,7 @@ class GINBackbone(nn.Module):
     axis_name: Optional[str] = None
     edge_axis: Optional[str] = None
     remat: bool = False
+    aggregate_fn: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, node_mask, train: bool, *,
@@ -140,6 +149,7 @@ class GINBackbone(nn.Module):
                      if self.remat else GINLayer)
         for i in range(config.GNN_NUM_LAYERS):
             h = layer_cls(self.aggregation, self.axis_name, self.edge_axis,
+                          aggregate_fn=self.aggregate_fn,
                           name=f"layers_{i}")(
                 h, node_mask, train, adj=adj, senders=senders,
                 receivers=receivers, edge_mask=edge_mask, bsr=bsr)

@@ -155,6 +155,32 @@ def build_node_partition_plan(senders, receivers, edge_mask, num_nodes: int,
         send_idx=send_idx)
 
 
+def halo_aggregate_local(h_loc: jnp.ndarray, eps, ls, lr, lm, hs, hr, hm,
+                         send_idx, n_dev: int, n_loc: int,
+                         axis: str = "edge") -> jnp.ndarray:
+    """One device's share of the halo-exchange GIN aggregation.
+
+    Runs INSIDE a caller-provided ``shard_map`` body: ``h_loc`` is this
+    device's ``[n_loc, F]`` owned rows, the plan arrays are this device's
+    slices (leading device dim already stripped). Usable directly as a
+    ``GINLayer.aggregate_fn`` closure so the full model stack (MLP/BN/
+    residual) reuses the halo path without duplication."""
+    f = h_loc.shape[-1]
+    send_buf = h_loc[send_idx]                       # [n_dev, H, F]
+    if n_dev > 1:
+        halo = jax.lax.all_to_all(send_buf, axis, 0, 0, tiled=True)
+    else:
+        halo = send_buf
+    # Local-sender partial first: no dependence on the collective, so
+    # the all_to_all overlaps it.
+    msgs_l = h_loc[ls] * lm[:, None]
+    partial = jax.ops.segment_sum(msgs_l, lr, num_segments=n_loc)
+    halo_rows = halo.reshape(-1, f)                  # [n_dev*H, F]
+    msgs_h = halo_rows[hs] * hm[:, None]
+    partial = partial + jax.ops.segment_sum(msgs_h, hr, num_segments=n_loc)
+    return partial + (1.0 + eps) * h_loc
+
+
 def node_partitioned_aggregate(mesh: Mesh, h: jnp.ndarray,
                                plan: NodePartitionPlan,
                                eps: jnp.ndarray) -> jnp.ndarray:
@@ -168,21 +194,9 @@ def node_partitioned_aggregate(mesh: Mesh, h: jnp.ndarray,
 
     def local_agg(h_loc, ls, lr, lm, hs, hr, hm, send_idx, eps_rep):
         h_loc = h_loc[0] if h_loc.ndim == 3 else h_loc  # [n_loc, F] block
-        f = h_loc.shape[-1]
-        send_buf = h_loc[send_idx[0]]                    # [n_dev, H, F]
-        if plan.n_dev > 1:
-            halo = jax.lax.all_to_all(send_buf, "edge", 0, 0, tiled=True)
-        else:
-            halo = send_buf
-        # Local-sender partial first: no dependence on the collective, so
-        # the all_to_all overlaps it.
-        msgs_l = h_loc[ls[0]] * lm[0][:, None]
-        partial = jax.ops.segment_sum(msgs_l, lr[0], num_segments=n_loc)
-        halo_rows = halo.reshape(-1, f)                  # [n_dev*H, F]
-        msgs_h = halo_rows[hs[0]] * hm[0][:, None]
-        partial = partial + jax.ops.segment_sum(msgs_h, hr[0],
-                                                num_segments=n_loc)
-        return partial + (1.0 + eps_rep) * h_loc
+        return halo_aggregate_local(h_loc, eps_rep, ls[0], lr[0], lm[0],
+                                    hs[0], hr[0], hm[0], send_idx[0],
+                                    plan.n_dev, n_loc, axis="edge")
 
     fn = shard_map(
         local_agg, mesh=mesh,

@@ -33,6 +33,27 @@ from run_pretrain import (  # noqa: E402 — shared CLI helpers
 )
 
 
+def _parallel_kwargs(args, cfg) -> dict:
+    """Map the driver's --partition/--dp surface onto finetune()'s modes.
+
+    --partition engages the sharded full-graph paths for node/link tasks
+    (node = halo-exchange row sharding, finetune/node_parallel.py; edge =
+    edge-list sharding with psum'd partials, finetune/edge_parallel.py);
+    --dp auto engages the graph-classification data-parallel path. Modes
+    that do not apply to a cell's task type fall back to the single-device
+    path, so one flag works across a mixed-domain sweep."""
+    kwargs = {}
+    partition = getattr(args, "partition", "none")
+    if partition != "none" and cfg.task_type in ("node_classification",
+                                                 "link_prediction"):
+        kwargs["node_parallel" if partition == "node"
+               else "edge_parallel"] = True
+    if getattr(args, "dp", "off") == "auto" \
+            and cfg.task_type == "graph_classification":
+        kwargs["data_parallel"] = True
+    return kwargs
+
+
 def cell_completed(cfg, args) -> bool:
     """Fidelity-aware completion check (see run_pretrain.cell_completed)."""
     from gnn_pretraining_tpu.utils.fidelity import (
@@ -43,7 +64,9 @@ def cell_completed(cfg, args) -> bool:
     path = (metrics_root(args) / config.FINETUNE_PROJECT_NAME
             / f"{cfg.run_name}.summary.json")
     expected = fidelity_block(args.epochs or cfg.epochs, cfg.seed,
-                              args.aggregation, None, (cfg.domain_name,))
+                              args.aggregation,
+                              getattr(args, "processed_dir", None),
+                              (cfg.domain_name,))
     return _check(path, expected)
 
 
@@ -65,7 +88,8 @@ def pretrain_ready(scheme: str, seed: int, args) -> bool:
     path = (metrics_root(args) / config.PRETRAIN_PROJECT_NAME
             / f"{pcfg.run_name}.summary.json")
     expected = fidelity_block(config.PRETRAIN_EPOCHS, seed, args.aggregation,
-                              None, pcfg.pretrain_domains)
+                              getattr(args, "processed_dir", None),
+                              pcfg.pretrain_domains)
     return _check(path, expected)
 
 
@@ -119,7 +143,8 @@ def run_grid(grid, args):
             res = finetune(cfg, aggregation=args.aggregation,
                            epochs=args.epochs, use_wandb=not args.no_wandb,
                            out_root=args.out_root,
-                           processed_dir=args.processed_dir)
+                           processed_dir=args.processed_dir,
+                           **_parallel_kwargs(args, cfg))
             key = ("test/auc" if cfg.task_type == "link_prediction"
                    else "test/accuracy")
             print(f"[{i+1}/{len(grid)}] {cfg.run_name}: {key}="
@@ -152,6 +177,13 @@ def main() -> None:
     parser.add_argument("--aggregation", type=str, default="pallas",
                         choices=["dense", "pallas", "coo", "csr"])
     parser.add_argument("--no_wandb", action="store_true")
+    parser.add_argument("--partition", type=str, default="none",
+                        choices=["none", "edge", "node"],
+                        help="shard full-graph cells (node/link tasks) over "
+                             "all local devices: 'edge' = edge-partitioned "
+                             "aggregation (psum'd [N,F] partials), 'node' = "
+                             "halo-exchange node partitioning (bytes ∝ edge "
+                             "cut). Ignored for graph-classification cells.")
     add_sweep_args(parser)
     parser.add_argument("--processed_dir", type=str, default=None,
                         help="alternate processed-data store (e.g. a scaled "
@@ -182,7 +214,8 @@ def main() -> None:
                                     seed=args.seed)
         res = finetune(cfg, aggregation=args.aggregation, epochs=args.epochs,
                        use_wandb=not args.no_wandb, out_root=args.out_root,
-                       processed_dir=args.processed_dir)
+                       processed_dir=args.processed_dir,
+                       **_parallel_kwargs(args, cfg))
         print({k: round(v, 4) if isinstance(v, float) else v
                for k, v in res.items()})
 

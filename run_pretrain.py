@@ -115,6 +115,10 @@ def run_isolated(script: str, grid, args, child_flags, incomplete) -> None:
 
 def common_child_flags(args) -> list:
     flags = ["--sweep", "--aggregation", args.aggregation]
+    if getattr(args, "dp", "off") != "off":
+        flags += ["--dp", args.dp]
+    if getattr(args, "partition", "none") != "none":
+        flags += ["--partition", args.partition]
     if args.resume:
         flags.append("--resume")
     if args.no_wandb:
@@ -123,6 +127,8 @@ def common_child_flags(args) -> list:
         flags += ["--epochs", str(args.epochs)]
     if args.out_root:
         flags += ["--out_root", str(args.out_root)]
+    if getattr(args, "processed_dir", None):
+        flags += ["--processed_dir", str(args.processed_dir)]
     if args.num_shards:
         flags += ["--shard_index", str(args.shard_index),
                   "--num_shards", str(args.num_shards)]
@@ -148,7 +154,8 @@ def cell_completed(cfg, args) -> bool:
     path = (metrics_root(args) / config.PRETRAIN_PROJECT_NAME
             / f"{cfg.run_name}.summary.json")
     expected = fidelity_block(args.epochs, cfg.seed, args.aggregation,
-                              None, cfg.pretrain_domains)
+                              getattr(args, "processed_dir", None),
+                              cfg.pretrain_domains)
     return _check(path, expected)
 
 
@@ -174,7 +181,9 @@ def run_sweep(args):
         try:
             res = pretrain(cfg, aggregation=args.aggregation,
                            epochs=args.epochs, use_wandb=not args.no_wandb,
-                           resume=args.resume, out_root=args.out_root)
+                           resume=args.resume, out_root=args.out_root,
+                           processed_dir=args.processed_dir,
+                           data_parallel=args.dp == "auto")
             print(f"[{i+1}/{len(grid)}] {cfg.run_name}: "
                   f"best_val={res['best_val_total']:.4f} "
                   f"({time.time()-t0:.0f}s)")
@@ -202,6 +211,16 @@ def add_sweep_args(parser) -> None:
     parser.add_argument("--isolate", type=int, default=0, metavar="N",
                         help="run the grid as child processes of N cells "
                              "each (bounds host RSS; see module docstring)")
+    parser.add_argument("--dp", type=str, default="off",
+                        choices=["off", "auto"],
+                        help="data parallelism: 'auto' shards each step's "
+                             "graphs over all local devices with exact "
+                             "semantics (SyncBN, psum'd losses, global "
+                             "contrastive negatives — parallel/"
+                             "data_parallel.py for pretraining, finetune/"
+                             "gc_data_parallel.py for graph-classification "
+                             "cells), falling back to the single-device "
+                             "path when only one device is visible")
     parser.add_argument("--grid_start", type=int, default=0,
                         help=argparse.SUPPRESS)  # isolate-child slice
     parser.add_argument("--grid_count", type=int, default=0,
@@ -227,6 +246,9 @@ def main() -> None:
                              "production outputs/ store); point smoke runs "
                              "at a scratch dir so they cannot overwrite "
                              "production artifacts")
+    parser.add_argument("--processed_dir", type=str, default=None,
+                        help="alternate processed-data store (smoke/test "
+                             "stores; default: data/processed)")
     args = parser.parse_args()
 
     if args.sweep:
@@ -238,7 +260,8 @@ def main() -> None:
         cfg = config.PretrainConfig(exp_name=args.exp_name, seed=args.seed)
         res = pretrain(cfg, aggregation=args.aggregation, epochs=args.epochs,
                        use_wandb=not args.no_wandb, resume=args.resume,
-                       out_root=args.out_root)
+                       out_root=args.out_root, processed_dir=args.processed_dir,
+                       data_parallel=args.dp == "auto")
         print(res)
 
 
