@@ -299,6 +299,18 @@ def maybe_clear_caches(threshold_gb: float = 32.0) -> bool:
 
 def maybe_init_distributed() -> None:
     """Multi-host bring-up (SURVEY.md §5): call before first jax use when the
-    standard cluster env vars are present; single-host runs skip silently."""
+    standard cluster env vars are present; single-host runs skip silently.
+
+    Multi-host jobs also get ``--xla_tpu_enable_async_all_to_all``: the
+    halo-exchange aggregation's overlap upper bound is only realized when
+    the TPU compiler splits the collective into a start/done pair (schedule
+    artifact: scripts/overlap_check.py → analysis/results/
+    overlap_schedule.json; default compilation is synchronous). Scoped to
+    the distributed path so single-chip runs keep their XLA_FLAGS (and
+    their persistent-cache keys) unchanged."""
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_tpu_enable_async_all_to_all" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_tpu_enable_async_all_to_all=true").strip()
         jax.distributed.initialize()

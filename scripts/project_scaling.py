@@ -125,6 +125,11 @@ def main() -> None:
                 "backward reverses each collective (bytes ×2)",
                 "single-chip throughput from BENCH_r03 (measured on v5e)",
                 "bounds: no-overlap (sum) vs full-overlap (max)",
+                "overlap regime demonstrated by compiled v5e schedule "
+                "(overlap_schedule.json): requires "
+                "xla_tpu_enable_async_all_to_all=true, set by "
+                "maybe_init_distributed; default compilation is "
+                "synchronous = no-overlap bound",
             ],
         },
         "workloads": {},
