@@ -57,9 +57,10 @@ SERVING_CELLS = (
 # Representation serving straight from a *pretrain* checkpoint (no fine-tune
 # needed): encoder + backbone -> [N, 256] node embeddings via the transfer
 # contract. Only ENZYMES has a transferred encoder
-# (models/finetune_model.py:76-93), so that is the embed domain.
-EMBED_CELLS = (
-    ("ENZYMES", "b2", 42),
+# (models/finetune_model.py:76-93), so that is the embed domain; the seed
+# axis follows --seeds (same as the transfer exports).
+EMBED_DOMAINS_SCHEMES = (
+    ("ENZYMES", "b2"),
 )
 
 
@@ -148,7 +149,7 @@ def export_serving_artifacts(out_root: Path, manifest: dict) -> int:
     return n
 
 
-def export_embed_artifacts(out_root: Path, manifest: dict) -> int:
+def export_embed_artifacts(out_root: Path, seeds, manifest: dict) -> int:
     """Embedding serving exports from pretrain checkpoints (available as soon
     as the pretrain phase finishes a scheme, long before any fine-tune cell).
     Mirrors scripts/export_model.py's --embed route: fresh finetune init,
@@ -159,7 +160,8 @@ def export_embed_artifacts(out_root: Path, manifest: dict) -> int:
     )
 
     n = 0
-    for domain, scheme, seed in EMBED_CELLS:
+    for (domain, scheme), seed in ((ds, sd) for ds in EMBED_DOMAINS_SCHEMES
+                                   for sd in seeds):
         src = out_root / "pretrain" / f"model_{scheme}_{seed}.msgpack"
         if not src.exists():
             print(f"  skip embed {scheme}_{seed}: {src} missing")
@@ -175,6 +177,7 @@ def export_embed_artifacts(out_root: Path, manifest: dict) -> int:
             "edge_mask": np.asarray(b.edge_mask, np.float32),
         }
         ckpt = load_checkpoint(src)
+        meta = dict(ckpt.get("meta", {}))
         model = FinetuneGNN(domain_name=domain, aggregation="coo")
         ft_vars = model.init(
             {"params": jax.random.PRNGKey(0),
@@ -192,6 +195,8 @@ def export_embed_artifacts(out_root: Path, manifest: dict) -> int:
         manifest[str(dst.relative_to(config.ARTIFACTS_DIR))] = {
             "sha256": _sha256(dst), "bytes": dst.stat().st_size,
             "source": str(src), "domain": domain, "embed": True,
+            "epoch": meta.get("epoch"),
+            "val_metrics": meta.get("val_metrics", {}),
             "bucket": {"num_nodes": int(example["x"].shape[0]),
                        "num_edges": int(example["senders"].shape[0])},
         }
@@ -220,9 +225,16 @@ def main() -> None:
     if not args.no_serving:
         print("serving artifacts:")
         ns = export_serving_artifacts(out_root, manifest)
-        ns += export_embed_artifacts(out_root, manifest)
+        ns += export_embed_artifacts(out_root, args.seeds, manifest)
 
     config.ARTIFACTS_DIR.mkdir(parents=True, exist_ok=True)
+    # Prune entries whose artifact was deleted/renamed: the manifest is
+    # merged across runs, so stale keys would otherwise persist forever and
+    # the file-driven integrity test would never notice them.
+    stale = [k for k in manifest if not (config.ARTIFACTS_DIR / k).exists()]
+    for k in stale:
+        del manifest[k]
+        print(f"  pruned stale manifest entry {k}")
     manifest_path.write_text(json.dumps(manifest, indent=2, sort_keys=True)
                              + "\n")
     print(f"wrote {nt} transfer + {ns} serving artifacts; manifest at "

@@ -163,6 +163,10 @@ class TestTrackedServingArtifacts:
             entry = manifest[rel]
             bucket = entry["bucket"]
             n, e = bucket["num_nodes"], bucket["num_edges"]
+            if entry.get("embed"):
+                # Embed artifacts always record their domain; the stem
+                # fallback below would yield e.g. 'ENZYMES_embed' (ADVICE r4).
+                assert "domain" in entry, f"{rel}: embed entry missing domain"
             domain = entry.get("domain", path.stem.rsplit("_", 1)[0])
             served = serving.load_artifact(path)
             rng = np.random.default_rng(0)
