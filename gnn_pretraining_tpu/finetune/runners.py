@@ -581,8 +581,10 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
 
     t_pass1 = time.time()
     fetched_epochs = 0  # epochs whose device work pass1_wall actually covers
+    dispatch_times = []  # steady-state telemetry (see below)
     for chunk_start in range(0, epochs, E):
         t_chunk = time.time()
+        dispatch_times.append(t_chunk)
         state, logs = run_epochs(state, train_stack, val_stack, aux,
                                  base_key, jnp.int32(chunk_start),
                                  jnp.int32(E))
@@ -641,5 +643,20 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
     tp = np.concatenate([np.asarray(test_logs[3])[j][np.asarray(test_logs[4])[j] > 0]
                          for j in range(len(test_bm))])
     test_metrics.update(M.compute_global_auc(cfg.domain_name, ty, tp, "test"))
+    # Steady-state throughput: the pipeline reaches steady state from the
+    # third dispatch on (the 1st pays compile, the 2nd drains the cold
+    # pipeline), after which the dispatch-to-dispatch period is
+    # max(device chunk time, host metric loop) — what a longer run would
+    # sustain. Unlike steps_per_sec (wall/steps incl. one-off compile and
+    # relay warm-up), this is comparable across aggregation modes
+    # (VERDICT r4 next-round #2: "steady-state per-step time excluding
+    # compile from in-run telemetry").
+    if len(dispatch_times) >= 3:
+        periods = np.diff(dispatch_times)[1:]
+        steady = float(np.sum(periods)) / (len(periods) * E
+                                           * max(steps_per_epoch, 1))
+        test_metrics["test/steady_steps_per_sec"] = 1.0 / max(steady, 1e-9)
+        test_metrics["test/steady_edges_per_sec"] = (
+            edges_per_step / max(steady, 1e-9))
     logger.log(test_metrics, step=global_step)
     return test_metrics
