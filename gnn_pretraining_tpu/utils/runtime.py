@@ -103,7 +103,9 @@ def honor_pause(where: str = "chunk boundary") -> None:
     if not _requester_alive():
         PAUSE_FILE.unlink(missing_ok=True)
         return
-    PAUSED_FILE.write_text(f"{os.getpid()} {where}")
+    stat_self = _proc_stat(os.getpid())
+    PAUSED_FILE.write_text(
+        f"{os.getpid()} {stat_self[1] if stat_self else 0} {where}")
     print(f"[runtime] chip pause requested — sweep parked at {where}",
           flush=True)
     try:
@@ -153,11 +155,23 @@ def acquire_chip(path: Path = SWEEP_PIDFILE, wait_s: float = 600.0,
             return False
         return start is None or st[1] == start
 
+    def _parked() -> bool:
+        """PAUSED_FILE is authoritative only while its writer (the parked
+        orchestrator) is alive — a stale ack from a dead or recycled
+        process must not make us race a live sweep."""
+        try:
+            fields = PAUSED_FILE.read_text().split()
+            writer, start = int(fields[0]), int(fields[1])
+        except (OSError, ValueError, IndexError):
+            return False
+        st = _proc_stat(writer)
+        return st is not None and st[1] == start
+
     consecutive_free = 0
     deadline = time.monotonic() + wait_s
     announced = False
     while time.monotonic() < deadline:
-        if PAUSED_FILE.exists():
+        if _parked():
             print("[runtime] sweep parked at a chunk boundary — chip is ours",
                   flush=True)
             return True
@@ -169,7 +183,12 @@ def acquire_chip(path: Path = SWEEP_PIDFILE, wait_s: float = 600.0,
                 announced = True
         else:
             consecutive_free += 1
-            if consecutive_free >= 3:
+            # An isolate sweep's pidfile is absent for ~10-15 s between
+            # chunk children (exit-unlink → next child's imports before
+            # write_pidfile), so "no holder" must persist well past that
+            # window before it means "no sweep at all". The parked case is
+            # signalled explicitly via PAUSED_FILE and needs no wait.
+            if consecutive_free * poll >= 45.0:
                 return True
         time.sleep(poll)
     print(f"[runtime] sweep did not yield within {wait_s:.0f}s — falling "

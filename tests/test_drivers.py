@@ -6,6 +6,7 @@ import sys
 import types
 
 import numpy as np
+import pytest
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 
@@ -140,6 +141,16 @@ class TestResumeLpSweepPlan:
 class TestIsolateOrchestrator:
     """--isolate chunking (the OOM fix): chunk skipping on resume, child
     command construction, and incomplete-grid failure signalling."""
+
+    @pytest.fixture(autouse=True)
+    def _no_real_pause(self, monkeypatch):
+        """run_isolated honors the REAL /tmp chip-pause handshake at chunk
+        boundaries; a live acquire_chip request from outside the test
+        session would otherwise park the test (observed: a concurrent
+        csr_cell.py run deadlocked this class for its whole duration)."""
+        from gnn_pretraining_tpu.utils import runtime
+
+        monkeypatch.setattr(runtime, "honor_pause", lambda *a, **k: None)
 
     def _args(self, **kw):
         base = dict(isolate=2, resume=True, no_wandb=True, epochs=None,
