@@ -1,0 +1,165 @@
+"""Decompose the 16k-node NC cell's steady per-step time on the chip.
+
+csr_cell.json (round 5) shows the steady dispatch period at ~0.30 s/epoch
+for BOTH aggregations — ~20x the back-of-envelope compute (5-layer MLPs
+~3 ms, aggregation 3-15 ms, eval ~5 ms). This probe slope-times the cell's
+actual components at the exact production shapes to find the floor:
+
+  train      — one train_one step (fwd+bwd+AdamW), as in the fused runner
+  eval       — one eval_one forward
+  fwd        — model forward only (train=False)
+  agg        — 5x the aggregation alone (fwd+bwd)
+  mlp        — 5x the GIN MLP matmuls alone (fwd+bwd)
+
+Writes analysis/results/nc16k_probe.json. Chip-cooperative (acquire_chip).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from gnn_pretraining_tpu import config  # noqa: E402
+from gnn_pretraining_tpu.utils.runtime import acquire_chip, setup_jax  # noqa: E402
+
+RESULTS = REPO / "analysis" / "results" / "nc16k_probe.json"
+
+
+def main() -> None:
+    setup_jax()
+    acquire_chip(wait_s=3600.0)
+
+    import jax
+    import jax.numpy as jnp
+
+    from gnn_pretraining_tpu.data.loaders import create_finetune_arrays
+    from gnn_pretraining_tpu.finetune.finetune import (
+        FTState,
+        create_finetune_optimizer,
+    )
+    from gnn_pretraining_tpu.finetune.runners import _graph_dict, _nc_fns
+    from gnn_pretraining_tpu.models.finetune_model import FinetuneGNN
+    from gnn_pretraining_tpu.ops.spmm import gin_aggregate_coo
+    from gnn_pretraining_tpu.utils.profiling import slope_time
+
+    store = REPO / "data" / "processed_6x"
+    cfg = config.FinetuneConfig(domain_name="Cora_NC",
+                                finetune_strategy="full_finetune",
+                                pretrained_scheme="b1", seed=42)
+    data = create_finetune_arrays("Cora_NC", "train", -1, processed_dir=store)
+    g = data.graph
+    n = g.x.shape[0]
+    e = int(np.asarray(g.edge_mask).sum())
+    print(f"n={n} e={e}", flush=True)
+
+    model = FinetuneGNN(domain_name="Cora_NC", aggregation="coo")
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(g.x), jnp.asarray(g.node_mask), False,
+        senders=jnp.asarray(g.senders), receivers=jnp.asarray(g.receivers),
+        edge_mask=jnp.asarray(g.edge_mask))
+    optimizer, labels, _ = create_finetune_optimizer(variables["params"], cfg)
+    state = (variables["params"], variables["batch_stats"],
+             optimizer.init(variables["params"]))
+    train_one, eval_one = _nc_fns(model, cfg, optimizer, labels)
+
+    aux = {"graph": _graph_dict(g), "adj": None, "bsr": None}
+    aux = jax.device_put(aux)
+    state = jax.device_put(state)
+    ix = jnp.asarray(np.asarray(data.node_indices[0]))
+    y = jnp.asarray(np.asarray(data.labels[0]))
+    mask = jnp.ones_like(y, jnp.float32)
+    b = {"idx": ix, "y": y, "mask": mask}
+    key = jax.random.PRNGKey(0)
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def run_train(st, iters):
+        def body(s, i):
+            s2, _ = train_one(s, b, aux, jax.random.fold_in(key, i))
+            return s2, ()
+        st, _ = jax.lax.scan(body, st, jnp.arange(iters))
+        return jax.tree.leaves(st)[0].sum()
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def run_eval(st, iters):
+        def body(acc, i):
+            logs = eval_one(st, b, aux)
+            return acc + logs[0], ()
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(iters))
+        return acc
+
+    params, stats, _ = state
+    x = jnp.asarray(g.x)
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def run_fwd(xx, iters):
+        def body(acc, i):
+            out = model.apply({"params": params, "batch_stats": stats},
+                              xx + acc * 0, jnp.asarray(g.node_mask), False,
+                              senders=aux["graph"]["senders"],
+                              receivers=aux["graph"]["receivers"],
+                              edge_mask=aux["graph"]["edge_mask"])
+            return jnp.sum(out) * 1e-12, ()
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(iters))
+        return acc
+
+    h0 = jnp.asarray(np.random.default_rng(0).normal(
+        size=(n, config.GNN_HIDDEN_DIM)).astype(np.float32))
+    eps = jnp.float32(0.1)
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def run_agg(h, iters):
+        def loss(hh):
+            z = hh
+            for _ in range(config.GNN_NUM_LAYERS):
+                z = gin_aggregate_coo(z, aux["graph"]["senders"],
+                                      aux["graph"]["receivers"],
+                                      aux["graph"]["edge_mask"], eps)
+            return jnp.sum(z ** 2)
+        def body(acc, i):
+            gr = jax.grad(loss)(h + acc * 0)
+            return jnp.sum(gr) * 1e-12, ()
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(iters))
+        return acc
+
+    w1 = jnp.asarray(np.random.default_rng(1).normal(
+        size=(256, 512)).astype(np.float32) * 0.01)
+    w2 = jnp.asarray(np.random.default_rng(2).normal(
+        size=(512, 256)).astype(np.float32) * 0.01)
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def run_mlp(h, iters):
+        def loss(hh):
+            z = hh
+            for _ in range(config.GNN_NUM_LAYERS):
+                z = jnp.maximum(z @ w1, 0) @ w2 + z
+            return jnp.sum(z ** 2)
+        def body(acc, i):
+            gr = jax.grad(loss)(h + acc * 0)
+            return jnp.sum(gr) * 1e-12, ()
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(iters))
+        return acc
+
+    res = {"n": n, "e": e}
+    for name, fn, arg in (("train_step", run_train, state),
+                          ("eval_step", run_eval, state),
+                          ("fwd_only", run_fwd, x),
+                          ("agg5_fwd_bwd", run_agg, h0),
+                          ("mlp5_fwd_bwd", run_mlp, h0)):
+        t = slope_time(lambda it, fn=fn, arg=arg: (lambda: fn(arg, iters=it)))
+        res[name + "_ms"] = round(t * 1e3, 3)
+        print(f"{name}: {t*1e3:.2f} ms", flush=True)
+
+    RESULTS.write_text(json.dumps(res, indent=2) + "\n")
+    print(f"wrote {RESULTS}")
+
+
+if __name__ == "__main__":
+    main()

@@ -24,9 +24,10 @@ from gnn_pretraining_tpu.utils.fidelity import (
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 
 
-def _write_npz(path, source="synthetic", scale=0.5):
+def _write_npz(path, source="synthetic", scale=0.5, homophily=0.0):
     np.savez(path, x=np.zeros(3),
-             meta__source=np.str_(source), meta__scale=np.float64(scale))
+             meta__source=np.str_(source), meta__scale=np.float64(scale),
+             meta__homophily=np.float64(homophily))
 
 
 class TestDataFidelity:
@@ -34,7 +35,8 @@ class TestDataFidelity:
         _write_npz(tmp_path / "A.npz", "synthetic", 0.25)
         _write_npz(tmp_path / "B.npz", "synthetic", 0.25)
         d = data_fidelity(tmp_path, ["A", "B"])
-        assert d == {"data_source": "synthetic", "synthetic_scale": 0.25}
+        assert d == {"data_source": "synthetic", "synthetic_scale": 0.25,
+                     "calibration": 0.0}
 
     def test_mixed_provenance_flagged(self, tmp_path):
         _write_npz(tmp_path / "A.npz", "synthetic", 1.0)
@@ -43,11 +45,22 @@ class TestDataFidelity:
 
     def test_missing_file(self, tmp_path):
         d = data_fidelity(tmp_path, ["nope"])
-        assert d == {"data_source": "missing", "synthetic_scale": -1.0}
+        assert d == {"data_source": "missing", "synthetic_scale": -1.0,
+                     "calibration": -1.0}
 
     def test_legacy_npz_is_unknown(self, tmp_path):
         np.savez(tmp_path / "A.npz", x=np.zeros(3))
         assert data_fidelity(tmp_path, ["A"])["data_source"] == "unknown"
+
+    def test_calibration_mismatch_invalidates(self, tmp_path):
+        """An iid-era store (homophily 0.0) must not satisfy a marker
+        written for the neighbor-correlated production calibration."""
+        _write_npz(tmp_path / "A.npz", homophily=0.45)
+        d = data_fidelity(tmp_path, ["A"])
+        assert d["calibration"] == 0.45
+        _write_npz(tmp_path / "B.npz", homophily=0.0)
+        mixed = data_fidelity(tmp_path, ["A", "B"])
+        assert mixed["calibration"] == -1.0  # mixed calibrations flagged
 
 
 class TestCellCompleted:
