@@ -349,6 +349,38 @@ def _csr_graph_aux(g):
 # ---------------------------------------------------------------------------
 
 
+
+def _pack_logs(logs, spec_out: list):
+    """Flatten a stacked log pytree into ONE f32 array (same leading dim).
+
+    The axon relay charges one RPC (~0.35-0.5 s) PER FETCHED LEAF; a chunk's
+    11-13 log leaves made the per-epoch wall ~0.3 s while the actual device
+    work is ~25 ms (analysis/results/nc16k_probe.json). One packed array =
+    one RPC — the same fix the pretrain loop's packed metric array uses.
+    Int leaves (labels/preds, values << 2^24) cast to f32 exactly;
+    ``spec_out`` receives (treedef, [(shape, dtype)...]) at trace time for
+    the host-side unpack."""
+    leaves, treedef = jax.tree.flatten(logs)
+    if not spec_out:
+        spec_out.append((treedef,
+                         [(tuple(l.shape), np.dtype(l.dtype))
+                          for l in leaves]))
+    lead = leaves[0].shape[0]
+    return jnp.concatenate(
+        [l.astype(jnp.float32).reshape(lead, -1) for l in leaves], axis=1)
+
+
+def _unpack_logs(packed, spec):
+    treedef, shapes = spec
+    packed = np.asarray(packed)
+    out, off = [], 0
+    for shape, dtype in shapes:
+        size = int(np.prod(shape[1:], dtype=np.int64))
+        out.append(packed[:, off:off + size].reshape(shape).astype(dtype))
+        off += size
+    return jax.tree.unflatten(treedef, out)
+
+
 def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
                        aggregation: str, epochs: int, patience: int,
                        logger, ckpt_path, training_start: float,
@@ -451,6 +483,8 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
     E = int(min(chunk_epochs, epochs))
     base_key = jax.random.PRNGKey(cfg.seed + config.FINETUNE_KEY_OFFSET)
 
+    epoch_log_spec, eval_log_spec = [], []
+
     def run_epochs(state, tr, va, ax, key, epoch0, limit):
         """Run E epochs from absolute epoch ``epoch0``; only the first
         ``limit`` epochs of THIS chunk apply updates (i.e. absolute epochs
@@ -475,7 +509,7 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
 
         state, logs = jax.lax.scan(epoch_body, state,
                                    epoch0 + jnp.arange(E))
-        return state, logs
+        return state, _pack_logs(logs, epoch_log_spec)
 
     run_epochs = jax.jit(run_epochs)
 
@@ -484,7 +518,7 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
             return s, eval_one(s, batch, ax)
 
         _, logs = jax.lax.scan(eval_body, state, stack)
-        return logs
+        return _pack_logs(logs, eval_log_spec)
 
     run_eval = jax.jit(run_eval)
 
@@ -592,8 +626,10 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
         if pending is not None:
             prev_start, prev_logs, prev_t = pending
             # device_get returns when chunk k is done; chunk k+1 keeps
-            # computing while the host loop below runs.
-            fetched = jax.device_get(prev_logs)
+            # computing while the host loop below runs. ONE packed leaf =
+            # one relay RPC (see _pack_logs).
+            fetched = _unpack_logs(jax.device_get(prev_logs),
+                                   epoch_log_spec[0])
             fetched_epochs += min(E, epochs - prev_start)
             per_step_wall = ((time.time() - prev_t)
                              / (E * max(steps_per_epoch, 1)))
@@ -605,7 +641,8 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
         pending = (chunk_start, logs, t_chunk)
     if pending is not None and not stopped:
         prev_start, prev_logs, prev_t = pending
-        fetched = jax.device_get(prev_logs)
+        fetched = _unpack_logs(jax.device_get(prev_logs),
+                               epoch_log_spec[0])
         fetched_epochs += min(E, epochs - prev_start)
         per_step_wall = (time.time() - prev_t) / (E * max(steps_per_epoch, 1))
         process_chunk(prev_start, fetched, per_step_wall)
@@ -628,7 +665,8 @@ def run_finetune_fused(cfg, data, model, state0, optimizer, labels, lrs,
                     {sel_key: best_val})
 
     # ---- test pass on the best state (reference :415-433) ----------------
-    test_logs = jax.device_get(run_eval(state_best, test_stack, aux))
+    test_logs = _unpack_logs(jax.device_get(
+        run_eval(state_best, test_stack, aux)), eval_log_spec[0])
     test_bm = batch_rows(test_logs, "test")
     test_metrics = M.compute_test_metrics(
         test_bm, stop_epoch if stopped else epoch, esi, training_start,
