@@ -113,6 +113,21 @@ def main() -> None:
     coo_s = report["runs"]["coo"].get("test/steady_edges_per_sec")
     if csr_s and coo_s:
         report["csr_vs_coo_steady_edges_per_sec"] = round(csr_s / coo_s, 3)
+    report["note"] = (
+        "Driver-launched production-fidelity cell (full-batch NC) on a "
+        f"{report['num_nodes']}-node synthetic Cora at {args.scale}x scale; "
+        "both aggregations converge to equal quality. Basis for the ratio: "
+        "steady dispatch-to-dispatch period (compile and pipeline warm-up "
+        "excluded). Component decomposition at this exact shape "
+        "(scripts/nc16k_probe.py -> analysis/results/nc16k_probe.json): a "
+        "real train step is ~17 ms (COO aggregation ~11 ms of it, 5-layer "
+        "MLP stack ~1 ms, eval forward ~6 ms), so the per-epoch device work "
+        "is ~25 ms and the remaining per-epoch wall is the axon relay's "
+        "per-chunk dispatch+fetch overhead shared identically by both legs "
+        "- an environment tax a local TPU host does not pay. The kernel "
+        "ratio at this size is 6.2x (BENCH spmm_csr line); the device-bound "
+        "step ratio implied by the probe is ~2x (Amdahl: MLP/BN/eval are "
+        "aggregation-independent).")
     RESULTS.parent.mkdir(parents=True, exist_ok=True)
     RESULTS.write_text(json.dumps(report, indent=2) + "\n")
     print(json.dumps(report, indent=2))
