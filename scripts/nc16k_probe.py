@@ -157,6 +157,60 @@ def main() -> None:
         res[name + "_ms"] = round(t * 1e3, 3)
         print(f"{name}: {t*1e3:.2f} ms", flush=True)
 
+    # Device-side FULL epoch body (train step + val eval + log stacking, the
+    # fused runner's scan content) per aggregation — the end-to-end
+    # steady-state comparison with the host metric loop and relay dispatch
+    # excluded (they are aggregation-independent; see csr_cell.json note).
+    from gnn_pretraining_tpu.finetune.runners import _csr_graph_aux
+
+    def epoch_runner(fns, ax):
+        train1, eval1 = fns
+
+        @partial(jax.jit, static_argnames=("iters",))
+        def run(st, iters):
+            def epoch(s, eidx):
+                s2, tlogs = train1(s, b, ax, jax.random.fold_in(key, eidx))
+                vlogs = eval1(s2, b, ax)
+                return s2, (tlogs[0], vlogs[0])
+            st, logs = jax.lax.scan(epoch, st, jnp.arange(iters))
+            return jax.tree.leaves(st)[0].sum() + logs[0].sum() + logs[1].sum()
+        return run
+
+    run_epoch_coo = epoch_runner((train_one, eval_one), aux)
+
+    gd_csr, bsr, inv = _csr_graph_aux(g)
+    model_csr = FinetuneGNN(domain_name="Cora_NC", aggregation="csr")
+    fns_csr = _nc_fns(model_csr, cfg, optimizer, labels)
+    aux_csr = jax.device_put({"graph": gd_csr, "adj": None, "bsr": bsr})
+    # node indices remapped like the production csr path
+    b_csr = {"idx": jnp.asarray(inv)[ix], "y": y, "mask": mask}
+
+    def epoch_runner_csr():
+        train1, eval1 = fns_csr
+
+        @partial(jax.jit, static_argnames=("iters",))
+        def run(st, iters):
+            def epoch(s, eidx):
+                s2, tlogs = train1(s, b_csr, aux_csr,
+                                   jax.random.fold_in(key, eidx))
+                vlogs = eval1(s2, b_csr, aux_csr)
+                return s2, (tlogs[0], vlogs[0])
+            st, logs = jax.lax.scan(epoch, st, jnp.arange(iters))
+            return jax.tree.leaves(st)[0].sum() + logs[0].sum() + logs[1].sum()
+        return run
+
+    run_epoch_csr = epoch_runner_csr()
+
+    for name, fn in (("epoch_body_coo", run_epoch_coo),
+                     ("epoch_body_csr", run_epoch_csr)):
+        t = slope_time(lambda it, fn=fn: (lambda: fn(state, iters=it)))
+        res[name + "_ms"] = round(t * 1e3, 3)
+        print(f"{name}: {t*1e3:.2f} ms", flush=True)
+    if res.get("epoch_body_csr_ms"):
+        res["csr_vs_coo_device_epoch"] = round(
+            res["epoch_body_coo_ms"] / res["epoch_body_csr_ms"], 3)
+        print("csr_vs_coo_device_epoch:", res["csr_vs_coo_device_epoch"])
+
     RESULTS.write_text(json.dumps(res, indent=2) + "\n")
     print(f"wrote {RESULTS}")
 
