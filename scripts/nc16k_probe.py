@@ -41,7 +41,6 @@ def main() -> None:
 
     from gnn_pretraining_tpu.data.loaders import create_finetune_arrays
     from gnn_pretraining_tpu.finetune.finetune import (
-        FTState,
         create_finetune_optimizer,
     )
     from gnn_pretraining_tpu.finetune.runners import _graph_dict, _nc_fns

@@ -7,7 +7,6 @@ exactness additionally covers the halo exchange, SyncBN over sharded rows,
 and the all_gather head/loss composition."""
 
 import sys
-import types
 
 import jax
 import jax.numpy as jnp
