@@ -162,20 +162,23 @@ def main() -> None:
     # excluded (they are aggregation-independent; see csr_cell.json note).
     from gnn_pretraining_tpu.finetune.runners import _csr_graph_aux
 
-    def epoch_runner(fns, ax):
+    def epoch_runner(fns):
         train1, eval1 = fns
 
+        # aux/batch are jit ARGUMENTS: closed-over arrays ship with the
+        # compile request to the remote compiler (the 93 MB feature matrix
+        # overflowed its body limit — HTTP 413).
         @partial(jax.jit, static_argnames=("iters",))
-        def run(st, iters):
+        def run(st, bb, ax, iters):
             def epoch(s, eidx):
-                s2, tlogs = train1(s, b, ax, jax.random.fold_in(key, eidx))
-                vlogs = eval1(s2, b, ax)
+                s2, tlogs = train1(s, bb, ax, jax.random.fold_in(key, eidx))
+                vlogs = eval1(s2, bb, ax)
                 return s2, (tlogs[0], vlogs[0])
             st, logs = jax.lax.scan(epoch, st, jnp.arange(iters))
             return jax.tree.leaves(st)[0].sum() + logs[0].sum() + logs[1].sum()
         return run
 
-    run_epoch_coo = epoch_runner((train_one, eval_one), aux)
+    run_epoch_coo = epoch_runner((train_one, eval_one))
 
     gd_csr, bsr, inv = _csr_graph_aux(g)
     model_csr = FinetuneGNN(domain_name="Cora_NC", aggregation="csr")
@@ -184,25 +187,13 @@ def main() -> None:
     # node indices remapped like the production csr path
     b_csr = {"idx": jnp.asarray(inv)[ix], "y": y, "mask": mask}
 
-    def epoch_runner_csr():
-        train1, eval1 = fns_csr
+    run_epoch_csr = epoch_runner(fns_csr)
 
-        @partial(jax.jit, static_argnames=("iters",))
-        def run(st, iters):
-            def epoch(s, eidx):
-                s2, tlogs = train1(s, b_csr, aux_csr,
-                                   jax.random.fold_in(key, eidx))
-                vlogs = eval1(s2, b_csr, aux_csr)
-                return s2, (tlogs[0], vlogs[0])
-            st, logs = jax.lax.scan(epoch, st, jnp.arange(iters))
-            return jax.tree.leaves(st)[0].sum() + logs[0].sum() + logs[1].sum()
-        return run
-
-    run_epoch_csr = epoch_runner_csr()
-
-    for name, fn in (("epoch_body_coo", run_epoch_coo),
-                     ("epoch_body_csr", run_epoch_csr)):
-        t = slope_time(lambda it, fn=fn: (lambda: fn(state, iters=it)))
+    for name, fn, bb, ax in (("epoch_body_coo", run_epoch_coo, b, aux),
+                             ("epoch_body_csr", run_epoch_csr, b_csr,
+                              aux_csr)):
+        t = slope_time(lambda it, fn=fn, bb=bb, ax=ax:
+                       (lambda: fn(state, bb, ax, iters=it)))
         res[name + "_ms"] = round(t * 1e3, 3)
         print(f"{name}: {t*1e3:.2f} ms", flush=True)
     if res.get("epoch_body_csr_ms"):
