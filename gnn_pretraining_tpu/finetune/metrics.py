@@ -22,13 +22,7 @@ import time
 from typing import Dict, List, Optional
 
 import numpy as np
-from sklearn.metrics import (
-    accuracy_score,
-    f1_score,
-    precision_score,
-    recall_score,
-    roc_auc_score,
-)
+from sklearn.metrics import roc_auc_score
 
 from gnn_pretraining_tpu import config
 
@@ -78,6 +72,44 @@ def _binary_prf(y_true: np.ndarray, y_pred: np.ndarray):
     return acc, f1, prec, rec
 
 
+def _macro_prf(y_true: np.ndarray, y_pred: np.ndarray):
+    """accuracy + macro f1/precision/recall, sklearn-equal (zero_division=0).
+
+    sklearn's macro average runs over sorted(unique(y_true) | unique(y_pred));
+    per-class ratios with zero denominators contribute 0. Closed forms — the
+    sklearn calls' validation layer cost ~20 ms per multiclass batch row and
+    dominated the fused runner's host loop on GC/NC cells
+    (equality asserted in tests/test_metrics.py)."""
+    labels = np.union1d(np.unique(y_true), np.unique(y_pred))
+    tp = np.empty(len(labels)); pc = np.empty(len(labels))
+    tc = np.empty(len(labels))
+    for i, c in enumerate(labels):
+        t = y_true == c
+        p = y_pred == c
+        tp[i] = np.sum(t & p)
+        pc[i] = p.sum()
+        tc[i] = t.sum()
+    prec = np.divide(tp, pc, out=np.zeros_like(tp), where=pc > 0)
+    rec = np.divide(tp, tc, out=np.zeros_like(tp), where=tc > 0)
+    den = prec + rec
+    f1 = np.divide(2 * prec * rec, den, out=np.zeros_like(tp), where=den > 0)
+    acc = float(np.mean(y_true == y_pred)) if len(y_true) else 0.0
+    return acc, float(f1.mean()), float(prec.mean()), float(rec.mean())
+
+
+def multiclass_ovr_auc(y_true: np.ndarray, y_prob: np.ndarray) -> float:
+    """sklearn-equal ``roc_auc_score(..., multi_class='ovr')`` (macro over
+    per-class one-vs-rest rank AUCs). sklearn raises when y_true does not
+    contain every probability column's class — callers record 0.0 there,
+    and this mirrors that contract by returning 0.0."""
+    classes = np.unique(y_true)
+    if len(classes) != y_prob.shape[1]:
+        return 0.0  # sklearn ValueError path -> recorded as 0.0
+    aucs = [binary_roc_auc((y_true == c).astype(np.int64), y_prob[:, int(c)])
+            for c in classes]
+    return float(np.mean(aucs))
+
+
 def compute_batch_metrics(domain_name: str, targets: np.ndarray,
                           predictions: np.ndarray, probabilities: np.ndarray,
                           loss: float, prefix: str) -> Dict[str, float]:
@@ -102,23 +134,15 @@ def compute_batch_metrics(domain_name: str, targets: np.ndarray,
         m[f"{prefix}/auc"] = (0.0 if single_class
                               else binary_roc_auc(y_true, y_prob))
     else:
-        m[f"{prefix}/accuracy"] = float(accuracy_score(y_true, y_pred))
-        m[f"{prefix}/f1"] = float(f1_score(y_true, y_pred, average="macro",
-                                           zero_division=0))
-        m[f"{prefix}/precision"] = float(precision_score(y_true, y_pred,
-                                                         average="macro",
-                                                         zero_division=0))
-        m[f"{prefix}/recall"] = float(recall_score(y_true, y_pred,
-                                                   average="macro",
-                                                   zero_division=0))
-        if len(np.unique(y_true)) < 2:
+        acc, f1, prec, rec = _macro_prf(y_true, y_pred)
+        m[f"{prefix}/accuracy"] = acc
+        m[f"{prefix}/f1"] = f1
+        m[f"{prefix}/precision"] = prec
+        m[f"{prefix}/recall"] = rec
+        if len(np.unique(y_true)) < 2 or not np.isfinite(y_prob).all():
             m[f"{prefix}/auc"] = 0.0
         else:
-            try:
-                m[f"{prefix}/auc"] = float(roc_auc_score(y_true, y_prob,
-                                                         multi_class="ovr"))
-            except (ValueError, RuntimeWarning):
-                m[f"{prefix}/auc"] = 0.0
+            m[f"{prefix}/auc"] = multiclass_ovr_auc(y_true, y_prob)
 
     m[f"{prefix}/loss"] = float(loss)
     m["num_samples"] = int(len(y_true))

@@ -100,3 +100,58 @@ class TestFastBinaryParity:
         probs = np.stack([np.zeros(4), np.full(4, np.nan)], axis=1)
         m = M.compute_batch_metrics("Cora_LP", y, pred, probs, 0.1, "t")
         assert m["t/auc"] == 0.0  # sklearn raises ValueError -> reference logs 0.0
+
+
+class TestMulticlassClosedForms:
+    """The closed-form multiclass metrics must equal sklearn (<=1e-12):
+    they replaced per-row sklearn calls whose validation layer cost ~20 ms
+    per multiclass batch row in the fused runner's host loop (round 5)."""
+
+    def test_random_cases_match_sklearn(self):
+        from sklearn.metrics import (
+            accuracy_score,
+            f1_score,
+            precision_score,
+            recall_score,
+            roc_auc_score,
+        )
+
+        from gnn_pretraining_tpu.finetune.metrics import (
+            _macro_prf,
+            multiclass_ovr_auc,
+        )
+
+        rng = np.random.default_rng(0)
+        for trial in range(25):
+            n_cls = int(rng.integers(3, 8))
+            b = int(rng.integers(5, 400))
+            y = rng.integers(0, n_cls, b)
+            pred = rng.integers(0, n_cls, b)
+            probs = rng.random((b, n_cls))
+            probs /= probs.sum(1, keepdims=True)
+            acc, f1, prec, rec = _macro_prf(y, pred)
+            assert abs(acc - accuracy_score(y, pred)) < 1e-12
+            assert abs(f1 - f1_score(y, pred, average="macro",
+                                     zero_division=0)) < 1e-12
+            assert abs(prec - precision_score(y, pred, average="macro",
+                                              zero_division=0)) < 1e-12
+            assert abs(rec - recall_score(y, pred, average="macro",
+                                          zero_division=0)) < 1e-12
+            ours = multiclass_ovr_auc(y, probs)
+            if len(np.unique(y)) == n_cls:
+                ref = roc_auc_score(y, probs, multi_class="ovr")
+                assert abs(ours - ref) < 1e-10, (trial, ours, ref)
+            else:
+                # sklearn raises (missing class) -> contract records 0.0
+                assert ours == 0.0
+
+    def test_labels_only_in_pred_count_for_macro(self):
+        from sklearn.metrics import f1_score
+
+        from gnn_pretraining_tpu.finetune.metrics import _macro_prf
+
+        y = np.array([0, 0, 1, 1])
+        pred = np.array([0, 2, 1, 3])  # classes 2,3 absent from y_true
+        _, f1, _, _ = _macro_prf(y, pred)
+        assert abs(f1 - f1_score(y, pred, average="macro",
+                                 zero_division=0)) < 1e-12
