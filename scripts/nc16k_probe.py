@@ -201,6 +201,60 @@ def main() -> None:
             res["epoch_body_coo_ms"] / res["epoch_body_csr_ms"], 3)
         print("csr_vs_coo_device_epoch:", res["csr_vs_coo_device_epoch"])
 
+    # Same epoch-body comparison on a BANDED 16k graph (the kernel bench's
+    # structure: avg_deg 8, band 512 — high tile locality after RCM-style
+    # ordering). Separates "CSR wins where the structure tiles well" from
+    # the Cora-shape result above (avg_deg ~4, scattered: mostly-empty
+    # (128,128) tiles make CSR lose to COO at the epoch level).
+    from gnn_pretraining_tpu.ops.spmm_csr import (
+        build_block_csr,
+        synthetic_banded_edges,
+    )
+
+    nb_, avg_deg, band = 16384, 8, 512
+    eb = nb_ * avg_deg
+    rng_b = np.random.default_rng(7)
+    bs, br = synthetic_banded_edges(nb_, eb, band, rng_b)
+    bmask = np.ones(eb, np.float32)
+    gd_band = {"x": jnp.asarray(rng_b.normal(size=(nb_, 50)).astype(np.float32)),
+               "senders": jnp.asarray(bs), "receivers": jnp.asarray(br),
+               "edge_mask": jnp.asarray(bmask),
+               "node_mask": jnp.ones(nb_, jnp.float32)}
+    bsr_band = build_block_csr(bs, br, bmask, nb_)
+    model_b = FinetuneGNN(domain_name="Cora_NC", aggregation="coo")
+    vb = model_b.init(
+        {"params": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
+        gd_band["x"], gd_band["node_mask"], False,
+        senders=gd_band["senders"], receivers=gd_band["receivers"],
+        edge_mask=gd_band["edge_mask"])
+    opt_b, labels_b, _ = create_finetune_optimizer(vb["params"], cfg)
+    state_b = jax.device_put((vb["params"], vb["batch_stats"],
+                              opt_b.init(vb["params"])))
+    fns_b_coo = _nc_fns(model_b, cfg, opt_b, labels_b)
+    fns_b_csr = _nc_fns(FinetuneGNN(domain_name="Cora_NC",
+                                    aggregation="csr"), cfg, opt_b, labels_b)
+    ixb = jnp.arange(0, nb_, 20)
+    bb_band = {"idx": ixb,
+               "y": jnp.asarray(rng_b.integers(0, 7, len(ixb))),
+               "mask": jnp.ones(len(ixb), jnp.float32)}
+    aux_b_coo = jax.device_put({"graph": gd_band, "adj": None, "bsr": None})
+    aux_b_csr = jax.device_put({"graph": gd_band, "adj": None,
+                                "bsr": bsr_band})
+    run_b_coo = epoch_runner(fns_b_coo)
+    run_b_csr = epoch_runner(fns_b_csr)
+    for name, fn, ax in (("banded_epoch_body_coo", run_b_coo, aux_b_coo),
+                         ("banded_epoch_body_csr", run_b_csr, aux_b_csr)):
+        t = slope_time(lambda it, fn=fn, ax=ax:
+                       (lambda: fn(state_b, bb_band, ax, iters=it)))
+        res[name + "_ms"] = round(t * 1e3, 3)
+        print(f"{name}: {t*1e3:.2f} ms", flush=True)
+    res["banded_nnzb"] = int(bsr_band.nnzb)
+    res["cora6_nnzb"] = int(bsr.nnzb)
+    res["banded_csr_vs_coo_device_epoch"] = round(
+        res["banded_epoch_body_coo_ms"] / res["banded_epoch_body_csr_ms"], 3)
+    print("banded_csr_vs_coo_device_epoch:",
+          res["banded_csr_vs_coo_device_epoch"])
+
     RESULTS.write_text(json.dumps(res, indent=2) + "\n")
     print(f"wrote {RESULTS}")
 
