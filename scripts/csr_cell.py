@@ -116,18 +116,15 @@ def main() -> None:
     report["note"] = (
         "Driver-launched production-fidelity cell (full-batch NC) on a "
         f"{report['num_nodes']}-node synthetic Cora at {args.scale}x scale; "
-        "both aggregations converge to equal quality. Basis for the ratio: "
-        "steady dispatch-to-dispatch period (compile and pipeline warm-up "
-        "excluded). Component decomposition at this exact shape "
-        "(scripts/nc16k_probe.py -> analysis/results/nc16k_probe.json): a "
-        "real train step is ~17 ms (COO aggregation ~11 ms of it, 5-layer "
-        "MLP stack ~1 ms, eval forward ~6 ms), so the per-epoch device work "
-        "is ~25 ms and the remaining per-epoch wall is the axon relay's "
-        "per-chunk dispatch+fetch overhead shared identically by both legs "
-        "- an environment tax a local TPU host does not pay. The kernel "
-        "ratio at this size is 6.2x (BENCH spmm_csr line); the device-bound "
-        "step ratio implied by the probe is ~2x (Amdahl: MLP/BN/eval are "
-        "aggregation-independent).")
+        "both aggregations converge to equal quality. Ratio basis: steady "
+        "dispatch-to-dispatch period (compile/warm-up excluded). See "
+        "analysis/results/nc16k_probe.json for the device-level epoch-body "
+        "decomposition: on THIS scattered avg-deg-4 graph csr loses to coo "
+        "(0.63x: RCM leaves most (128,128) tiles nearly empty), while on "
+        "the banded structure of the kernel bench the same epoch body is a "
+        "2.91x csr win. The 6.2x kernel line is conditional on tile "
+        "locality; the rest of the steady wall is relay dispatch + host "
+        "metrics, identical in both legs.")
     RESULTS.parent.mkdir(parents=True, exist_ok=True)
     RESULTS.write_text(json.dumps(report, indent=2) + "\n")
     print(json.dumps(report, indent=2))
